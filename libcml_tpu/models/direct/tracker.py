@@ -1,0 +1,231 @@
+"""Direct frame-to-keyframe tracker: coarse-to-fine LM over SE3 + affine.
+
+TPU-native replacement for the reference's DSOTracker
+(reference: src/cml/optimization/dso/DSOTracker.cpp:15 optimize,
+:421-470 SSE 8x8 Hessian accumulation, :93-100 LM damping + ldlt solve,
+DSOTracker.h:200-230 Residual output with covariance/flow/saturation stats).
+
+Design: the reference loops points with 4-wide SIMD; here each LM iteration
+is ONE batched residual sweep over the whole point arena (gathers + einsum
+reduction to the 8x8 normal equations) per pyramid level, inside lax.scan —
+a single fused XLA program per level with zero host round-trips. The
+reference's semi-dense "coarse depth map" (makeCoarseDepthL0,
+DSOTracker.cpp:494) is replaced by tracking directly against the reference
+keyframe's point set at every level, which keeps shapes static.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from libcml_tpu.core.camera import PinholeCamera
+from libcml_tpu.core.lie import SE3, se3_exp
+from libcml_tpu.models.direct.config import DirectConfig
+from libcml_tpu.models.direct.residuals import (
+    evaluate_residuals,
+    gauss_newton_system,
+    rel_pose_jacobian,
+)
+from libcml_tpu.ops.image import bilinear
+
+
+@struct.dataclass
+class TrackerRef:
+    """Per-level views of the reference keyframe's point set (static shapes).
+
+    All leaves are stacked over levels: uv (L, P, 2), color (L, P, 8),
+    weight (L, P, 8), valid (L, P). idepth is level-independent (P,)."""
+
+    uv: jax.Array
+    color: jax.Array
+    weight: jax.Array
+    valid: jax.Array
+    idepth: jax.Array
+
+
+@struct.dataclass
+class TrackResult:
+    T_ji: SE3            # relative pose: new frame <- reference keyframe
+    ab: jax.Array        # (2,) relative affine [a_ji, b_ji]
+    energy: jax.Array    # final mean Huber energy per valid point
+    num_valid: jax.Array # valid points at the finest level
+    cov_pose: jax.Array  # (6, 6) pose covariance (affine marginalized)
+    flow: jax.Array      # RMS pixel flow at the finest level (KF decision)
+    flow_no_trans: jax.Array  # RMS flow from rotation only
+    saturated: jax.Array # fraction of points with energy above outlier cut
+
+
+def _level_uv(uv0: jax.Array, level: int) -> jax.Array:
+    """Level-0 pixel coords -> level-l (DSO half-pixel convention)."""
+    s = 0.5**level
+    return (uv0 + 0.5) * s - 0.5
+
+
+def make_tracker_ref(
+    kf_grad_pyr: tuple[jax.Array, ...],
+    cam0: PinholeCamera,
+    uv0: jax.Array,
+    idepth: jax.Array,
+    valid: jax.Array,
+    cfg: DirectConfig,
+) -> TrackerRef:
+    """Sample the host keyframe's pattern intensities and gradient weights at
+    every pyramid level (the per-point data the tracker needs)."""
+    from libcml_tpu.models.direct.residuals import pattern_uv
+
+    uvs, colors, weights, valids = [], [], [], []
+    for l, G in enumerate(kf_grad_pyr):
+        cam_l = cam0.level(l)
+        uv_l = _level_uv(uv0, l)
+        p_uv = pattern_uv(uv_l)
+        sample = bilinear(G, p_uv)  # (P, 8, 3)
+        color = sample[..., 0]
+        gsq = sample[..., 1] ** 2 + sample[..., 2] ** 2
+        w = jnp.sqrt(cfg.gradient_weight_c2 / (cfg.gradient_weight_c2 + gsq))
+        ok = valid & cam_l.in_bounds(uv_l, border=3.0)
+        uvs.append(uv_l)
+        colors.append(color)
+        weights.append(w)
+        valids.append(ok)
+    return TrackerRef(
+        uv=jnp.stack(uvs),
+        color=jnp.stack(colors),
+        weight=jnp.stack(weights),
+        valid=jnp.stack(valids),
+        idepth=idepth,
+    )
+
+
+def _solve_scaled(H: jax.Array, b: jax.Array, lam: jax.Array, cfg: DirectConfig):
+    """LM-damped solve of the 8x8 system with DSO-style state scaling for
+    conditioning (reference scales xi/a/b before the ldlt solve)."""
+    s = jnp.array(
+        [cfg.scale_trans] * 3 + [cfg.scale_rot] * 3 + [cfg.scale_a, cfg.scale_b],
+        dtype=H.dtype,
+    )
+    Hs = H * s[:, None] * s[None, :]
+    bs = b * s
+    Hs = Hs + lam * jnp.diag(jnp.diag(Hs)) + 1e-8 * jnp.eye(8, dtype=H.dtype)
+    dx = jnp.linalg.solve(Hs, bs)
+    return dx * s
+
+
+def _track_level(
+    grad_j: jax.Array,
+    cam_l: PinholeCamera,
+    uv: jax.Array,
+    idepth: jax.Array,
+    color: jax.Array,
+    weight: jax.Array,
+    valid: jax.Array,
+    T0: SE3,
+    ab0: jax.Array,
+    cfg: DirectConfig,
+):
+    """Run cfg.tracker_iters LM iterations at one pyramid level."""
+
+    weight = jnp.where(valid[:, None], weight, 0.0)
+
+    def total_energy(T, ab):
+        ev = evaluate_residuals(
+            grad_j, cam_l, uv, idepth, color, weight, T, ab[0], ab[1],
+            huber_k=cfg.huber_intensity,
+        )
+        ok = ev.valid & valid
+        n = jnp.maximum(jnp.sum(ok), 1)
+        return jnp.sum(jnp.where(ok, ev.energy, 0.0)) / n, ok
+
+    E0, _ = total_energy(T0, ab0)
+
+    def step(carry, _):
+        T, ab, E, lam = carry
+        ev = evaluate_residuals(
+            grad_j, cam_l, uv, idepth, color, weight, T, ab[0], ab[1],
+            huber_k=cfg.huber_intensity,
+        )
+        J = rel_pose_jacobian(ev, color)
+        H, b, _ = gauss_newton_system(J, ev.r, ev.w)
+        # small prior keeping affine params near zero (no exposure data)
+        prior = jnp.array([0.0] * 6 + [1e-1, 1e-3], dtype=H.dtype)
+        H = H + jnp.diag(prior)
+        b = b + prior * jnp.concatenate([jnp.zeros(6, H.dtype), ab])
+        dx = _solve_scaled(H, b, lam, cfg)
+        T_new = se3_exp(-dx[:6]).compose(T)
+        ab_new = ab - dx[6:]
+        E_new, _ = total_energy(T_new, ab_new)
+        accept = E_new < E
+        T = jax.tree.map(lambda a, b_: jnp.where(accept, b_, a), T, T_new)
+        ab = jnp.where(accept, ab_new, ab)
+        E = jnp.where(accept, E_new, E)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 4.0, 1e2))
+        return (T, ab, E, lam), E
+
+    (T, ab, E, _), _ = jax.lax.scan(
+        step, (T0, ab0, E0, jnp.asarray(1e-4, dtype=uv.dtype)), None,
+        length=cfg.tracker_iters,
+    )
+    return T, ab, E
+
+
+def track(
+    new_grad_pyr: tuple[jax.Array, ...],
+    cam0: PinholeCamera,
+    ref: TrackerRef,
+    T_init: SE3,
+    ab_init: jax.Array,
+    cfg: DirectConfig,
+) -> TrackResult:
+    """Track a new frame against the reference keyframe point set,
+    coarse-to-fine. Fully jittable; call under jax.jit."""
+    num_levels = len(new_grad_pyr)
+    T, ab = T_init, ab_init
+    E = jnp.asarray(0.0, dtype=jnp.float32)
+    for l in range(num_levels - 1, -1, -1):
+        cam_l = cam0.level(l)
+        T, ab, E = _track_level(
+            new_grad_pyr[l], cam_l,
+            ref.uv[l], ref.idepth, ref.color[l], ref.weight[l], ref.valid[l],
+            T, ab, cfg,
+        )
+
+    # Final sweep at level 0 for statistics + covariance.
+    cam_l0 = cam0.level(0)
+    w0 = jnp.where(ref.valid[0][:, None], ref.weight[0], 0.0)
+    ev = evaluate_residuals(
+        new_grad_pyr[0], cam_l0, ref.uv[0], ref.idepth, ref.color[0], w0,
+        T, ab[0], ab[1], huber_k=cfg.huber_intensity,
+    )
+    ok = ev.valid & ref.valid[0]
+    n = jnp.maximum(jnp.sum(ok), 1)
+
+    J = rel_pose_jacobian(ev, ref.color[0])
+    H, _, _ = gauss_newton_system(J, ev.r, ev.w)
+    H = H + 1e-6 * jnp.eye(8, dtype=H.dtype)
+    cov_full = jnp.linalg.inv(H)
+    cov_pose = cov_full[:6, :6]
+
+    flow_sq = jnp.sum((ev.uv_j - ref.uv[0]) ** 2, axis=-1)
+    flow = jnp.sqrt(jnp.sum(jnp.where(ok, flow_sq, 0.0)) / n)
+    # rotation-only flow: warp with translation zeroed
+    T_rot = SE3(R=T.R, t=jnp.zeros_like(T.t))
+    ev_rot = evaluate_residuals(
+        new_grad_pyr[0], cam_l0, ref.uv[0], ref.idepth, ref.color[0], w0,
+        T_rot, ab[0], ab[1], huber_k=cfg.huber_intensity,
+    )
+    flow_rot_sq = jnp.sum((ev_rot.uv_j - ref.uv[0]) ** 2, axis=-1)
+    flow_no_trans = jnp.sqrt(jnp.sum(jnp.where(ok, flow_rot_sq, 0.0)) / n)
+
+    saturated = jnp.sum(jnp.where(ok, ev.energy > cfg.outlier_energy, False)) / n
+
+    return TrackResult(
+        T_ji=T,
+        ab=ab,
+        energy=jnp.sum(jnp.where(ok, ev.energy, 0.0)) / n,
+        num_valid=jnp.sum(ok),
+        cov_pose=cov_pose,
+        flow=flow,
+        flow_no_trans=flow_no_trans,
+        saturated=saturated,
+    )
