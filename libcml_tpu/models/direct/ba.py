@@ -1,0 +1,571 @@
+"""Windowed photometric bundle adjustment with FEJ + marginalization.
+
+TPU-native replacement for the reference's DSOBundleAdjustment
+(reference: src/cml/optimization/dso/DSOBundleAdjustment.cpp:744 run,
+:1284 solveLevenbergMarquardt, DSOBundleAdjustment.h:35 marginalizeFrame,
+:46 marginalizePointsF, :48 computeNullspaces, :104 computeAdjoints,
+:141-147 Hessian stitch, and the SSE accumulators in MatrixAccumulators.h).
+
+TPU-first design:
+  - The window is a FIXED arena of F keyframe slots and P point slots with
+    validity masks; the residual set is the dense (P, F) grid of
+    (point, target-frame) pairs with an activity mask — no pointer graphs,
+    no dynamic shapes, no recompiles as the window evolves.
+  - One linearization = one fused sweep producing all residuals, robust
+    weights, and Jacobians as (P, F, ...) arrays; the 8-dof-per-frame
+    Hessian blocks are assembled with einsum one-hot scatters (the MXU does
+    the reduction the reference hand-rolls in SSE), and the per-point
+    inverse depths are Schur-eliminated with a batched divide (the idepth
+    block is diagonal by construction, as in DSO).
+  - First-Estimate Jacobians: geometric Jacobians are evaluated at the
+    linearization point (pose/affine/idepth stored when a frame/point
+    enters the window); only the photometric residual uses current state.
+  - Marginalization: dropping a frame Schur-eliminates its 8 dof from the
+    running dense prior (H_m, b_m) over window slots after folding in the
+    FEJ-shifted residuals of the points it hosts (res_toZeroF semantics);
+    the prior's gradient is nullspace-orthogonalized against the global
+    gauge directions (translation, rotation, scale), mirroring
+    computeNullspaces/orthogonalize in the reference.
+
+State layout (all static shapes; F = frame slots, P = point slots):
+  frames : T (F), ab (F, 2), FEJ copies, delta (F, 8), valid (F,)
+  points : uv (P, 2), host (P,), idepth (P,), idepth_fej (P,),
+           color (P, 8), weight (P, 8), valid (P,)
+  resid  : active (P, F) bool
+  prior  : H_m (F*8, F*8), b_m (F*8,)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from libcml_tpu.core.camera import PinholeCamera
+from libcml_tpu.core.lie import SE3, se3_exp, skew
+from libcml_tpu.models.direct.config import DirectConfig
+from libcml_tpu.models.direct.residuals import (
+    huber_energy,
+    huber_weight,
+    pattern_uv,
+    proj_jacobian,
+)
+from libcml_tpu.ops.image import bilinear
+
+_D = 8  # per-frame state dim: [v(3), w(3), a, b]
+
+
+@struct.dataclass
+class BAState:
+    # frames (slot arrays, F slots)
+    T: SE3                  # current world-to-camera poses (F, 3, 3)/(F, 3)
+    ab: jax.Array           # (F, 2) per-frame affine brightness [a, b]
+    T_fej: SE3              # linearization-point poses
+    ab_fej: jax.Array       # (F, 2)
+    delta: jax.Array        # (F, 8) accumulated left-tangent state - FEJ
+    frame_valid: jax.Array  # (F,) bool
+
+    # points (P slots)
+    uv: jax.Array           # (P, 2) level-0 pixel in host frame
+    host: jax.Array         # (P,) int32 host slot index
+    idepth: jax.Array       # (P,)
+    idepth_fej: jax.Array   # (P,)
+    color: jax.Array        # (P, 8) host pattern intensities
+    weight: jax.Array       # (P, 8) host gradient weights
+    point_valid: jax.Array  # (P,) bool
+
+    # residual activity (point x target frame)
+    res_active: jax.Array   # (P, F) bool
+
+    # marginalization prior over slot states
+    H_m: jax.Array          # (F*8, F*8)
+    b_m: jax.Array          # (F*8,)
+
+    @property
+    def num_frames(self) -> int:
+        return self.ab.shape[0]
+
+    @property
+    def num_points(self) -> int:
+        return self.uv.shape[0]
+
+
+def empty_state(cfg: DirectConfig) -> BAState:
+    F, P = cfg.max_frames, cfg.max_points
+    return BAState(
+        T=SE3.identity((F,)),
+        ab=jnp.zeros((F, 2), jnp.float32),
+        T_fej=SE3.identity((F,)),
+        ab_fej=jnp.zeros((F, 2), jnp.float32),
+        delta=jnp.zeros((F, _D), jnp.float32),
+        frame_valid=jnp.zeros((F,), bool),
+        uv=jnp.zeros((P, 2), jnp.float32),
+        host=jnp.zeros((P,), jnp.int32),
+        idepth=jnp.ones((P,), jnp.float32),
+        idepth_fej=jnp.ones((P,), jnp.float32),
+        color=jnp.zeros((P, 8), jnp.float32),
+        weight=jnp.zeros((P, 8), jnp.float32),
+        point_valid=jnp.zeros((P,), bool),
+        res_active=jnp.zeros((P, F), bool),
+        H_m=jnp.zeros((F * _D, F * _D), jnp.float32),
+        b_m=jnp.zeros((F * _D,), jnp.float32),
+    )
+
+
+def anchor_first_frame(state: BAState, slot: int, cfg: DirectConfig) -> BAState:
+    """Gauge anchor: a strong pose prior on the first keyframe's slot
+    (reference: the first-frame prior added to the energy functional; the
+    anchor then propagates through marginalization automatically)."""
+    idx = slot * _D + jnp.arange(6)
+    H_m = state.H_m.at[idx, idx].add(cfg.pose_prior_first)
+    return state.replace(H_m=H_m)
+
+
+# ---------------------------------------------------------------------------
+# Linearization
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class Linearization:
+    """All (P, F) residual quantities one BA iteration needs."""
+
+    r: jax.Array        # (P, F, 8) residuals at CURRENT state
+    w: jax.Array        # (P, F, 8) robust*gradient*active weights
+    J_t: jax.Array      # (P, F, 8, 8) d r / d target-frame state (FEJ)
+    J_h: jax.Array      # (P, F, 8, 8) d r / d host-frame state (FEJ)
+    J_rho: jax.Array    # (P, F, 8) d r / d idepth (FEJ)
+    active: jax.Array   # (P, F) residual active & in-bounds & positive depth
+    energy: jax.Array   # (P, F) per-residual Huber energy (masked)
+
+
+def _pairwise_rel(T: SE3) -> SE3:
+    """All relative poses T_rel[i, j] = T_j ∘ T_i^-1 (target j <- host i).
+    (F, F) batched compose — the reference's precomputed pairwise transforms
+    (DSOFrame precomputed transforms)."""
+    F = T.t.shape[0]
+    Ti = jax.tree.map(lambda x: jnp.repeat(x[:, None], F, axis=1), T)   # host i
+    Tj = jax.tree.map(lambda x: jnp.repeat(x[None, :], F, axis=0), T)   # target j
+    return Tj.compose(Ti.inverse())
+
+
+def linearize(
+    state: BAState,
+    images: jax.Array,      # (F, H, W, 3) level-0 gradient images per slot
+    cam: PinholeCamera,
+    cfg: DirectConfig,
+) -> Linearization:
+    """One dense (P, F) linearization sweep. FEJ: geometry at linearization
+    point, residual at current state."""
+    P, F = state.num_points, state.num_frames
+
+    rel_cur = _pairwise_rel(state.T)       # (F, F) current
+    rel_fej = _pairwise_rel(state.T_fej)   # (F, F) FEJ
+
+    host = state.host                       # (P,)
+    # gather per-point relative poses for every target: (P, F, 3, 3)/(P, F, 3)
+    T_cur = jax.tree.map(lambda x: x[host], rel_cur)
+    T_fej = jax.tree.map(lambda x: x[host], rel_fej)
+
+    # ---- current-state warp + residual -----------------------------------
+    p_uv = pattern_uv(state.uv)                            # (P, 8, 2)
+    Xp_i = cam.unproject(p_uv, state.idepth[:, None])      # (P, 8, 3)
+    # warp through every target: (P, F, 8, 3)
+    Xp_j = jnp.einsum("pfij,pkj->pfki", T_cur.R, Xp_i) + T_cur.t[:, :, None, :]
+    uv_j, valid_z = cam.project(Xp_j)                      # (P, F, 8, 2)
+    in_b = cam.in_bounds(uv_j, border=2.0)
+    geo_ok = jnp.all(valid_z & in_b, axis=-1)              # (P, F)
+
+    # sample target images: vmap the gather over the F axis
+    sample = jax.vmap(bilinear, in_axes=(0, 1), out_axes=1)(images, uv_j)
+    I_j = sample[..., 0]                                   # (P, F, 8)
+    g = sample[..., 1:3]                                   # (P, F, 8, 2)
+
+    # relative affine from per-frame (a, b):
+    #   r = I_j - b_ji - e^{a_j - a_i} * color,  b_ji = b_j - e^{a_j-a_i} b_i
+    a_i = state.ab[host, 0][:, None]                       # (P, 1)
+    b_i = state.ab[host, 1][:, None]
+    a_j = state.ab[None, :, 0]                             # (1, F)
+    b_j = state.ab[None, :, 1]
+    s_ji = jnp.exp(a_j - a_i)                              # (P, F)
+    r = I_j - b_j[:, :, None] - s_ji[:, :, None] * (state.color[:, None, :] - b_i[:, :, None])
+
+    # ---- FEJ geometry for Jacobians ---------------------------------------
+    X_i0 = cam.unproject(state.uv, state.idepth_fej)       # (P, 3) center, FEJ
+    X_j0 = jnp.einsum("pfij,pj->pfi", T_fej.R, X_i0) + T_fej.t   # (P, F, 3)
+    J_uv_Xj = proj_jacobian(cam, X_j0)                     # (P, F, 2, 3)
+
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), (P, F, 3, 3))
+    # target perturbation: dX_j/dxi_j = [I | -skew(X_j)]
+    J_Xj_t = jnp.concatenate([eye3, -skew(X_j0)], axis=-1)           # (P, F, 3, 6)
+    # host perturbation: dX_j/dxi_i = -R_ji [I | -skew(X_i)]
+    J_Xi = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), (P, 3, 3)), -skew(X_i0)],
+        axis=-1,
+    )                                                                # (P, 3, 6)
+    J_Xj_h = -jnp.einsum("pfij,pjd->pfid", T_fej.R, J_Xi)            # (P, F, 3, 6)
+
+    J_uv_t = jnp.einsum("pfuc,pfcd->pfud", J_uv_Xj, J_Xj_t)          # (P, F, 2, 6)
+    J_uv_h = jnp.einsum("pfuc,pfcd->pfud", J_uv_Xj, J_Xj_h)
+    Jg_t = jnp.einsum("pfku,pfud->pfkd", g, J_uv_t)                  # (P, F, 8, 6)
+    Jg_h = jnp.einsum("pfku,pfud->pfkd", g, J_uv_h)
+
+    # idepth: dX_j/drho = -(X_j - t_ji)/rho (FEJ)
+    dXj_drho = -(X_j0 - T_fej.t) / jnp.maximum(state.idepth_fej, 1e-8)[:, None, None]
+    J_uv_rho = jnp.einsum("pfuc,pfc->pfu", J_uv_Xj, dXj_drho)        # (P, F, 2)
+    J_rho = jnp.einsum("pfku,pfu->pfk", g, J_uv_rho)                 # (P, F, 8)
+
+    # affine Jacobians (FEJ affine states)
+    a_i0 = state.ab_fej[host, 0][:, None]
+    b_i0 = state.ab_fej[host, 1][:, None]
+    a_j0 = state.ab_fej[None, :, 0]
+    s0 = jnp.exp(a_j0 - a_i0)                                        # (P, F)
+    col0 = state.color[:, None, :] - b_i0[:, :, None]                # (P, F, 8)
+    dr_daj = -s0[:, :, None] * col0                                  # (P, F, 8)
+    dr_dai = s0[:, :, None] * col0
+    dr_dbj = -jnp.ones_like(r)
+    dr_dbi = jnp.broadcast_to(s0[:, :, None], r.shape)
+
+    J_t = jnp.concatenate([Jg_t, dr_daj[..., None], dr_dbj[..., None]], axis=-1)
+    J_h = jnp.concatenate([Jg_h, dr_dai[..., None], dr_dbi[..., None]], axis=-1)
+
+    # ---- masks + robust weights -------------------------------------------
+    fv = state.frame_valid
+    not_self = state.host[:, None] != jnp.arange(F)[None, :]
+    active = (
+        state.res_active
+        & state.point_valid[:, None]
+        & fv[None, :]
+        & fv[host][:, None]
+        & not_self
+        & geo_ok
+    )
+    w = huber_weight(r, cfg.huber_intensity) * state.weight[:, None, :]
+    w = jnp.where(active[..., None], w, 0.0)
+    energy = jnp.where(
+        active,
+        jnp.sum(state.weight[:, None, :] * huber_energy(r, cfg.huber_intensity), axis=-1),
+        0.0,
+    )
+    return Linearization(r=r, w=w, J_t=J_t, J_h=J_h, J_rho=J_rho,
+                         active=active, energy=energy)
+
+
+# ---------------------------------------------------------------------------
+# Normal equations: frame blocks + idepth Schur complement
+# ---------------------------------------------------------------------------
+
+
+def _assemble(
+    lin: Linearization,
+    state: BAState,
+    cfg: DirectConfig,
+    r_shift: jax.Array | None = None,
+):
+    """Build the Schur-reduced camera system.
+
+    Returns (H_sc (F*8, F*8), b_sc (F*8,), H_rho (P,), b_rho (P,),
+    H_xr (P, F*8)) where H_xr rows let callers back-substitute idepth steps.
+    If r_shift is given it replaces the residual used for b (the
+    res_toZeroF FEJ shift at marginalization time).
+    """
+    P, F = state.num_points, state.num_frames
+    D = F * _D
+    r = lin.r if r_shift is None else r_shift
+    w = lin.w
+
+    onehot_h = jax.nn.one_hot(state.host, F, dtype=r.dtype)           # (P, F)
+
+    Jt_w = lin.J_t * w[..., None]                                     # (P, F, 8, 8)
+
+    # frame-block Hessians (t = target axis f, h = host via one-hot)
+    H_tt = jnp.einsum("pfkd,pfke->fde", Jt_w, lin.J_t)                # (F, 8, 8)
+    H_hh = jnp.einsum("pfkd,pfke,ph->hde", lin.J_h * w[..., None], lin.J_h, onehot_h)
+    H_th = jnp.einsum("pfkd,pfke,ph->fhde", Jt_w, lin.J_h, onehot_h)  # (F, F, 8, 8)
+
+    b_t = jnp.einsum("pfkd,pfk->fd", Jt_w, r)                         # (F, 8)
+    b_h = jnp.einsum("pfkd,pfk,ph->hd", lin.J_h * w[..., None], r, onehot_h)
+
+    # Stitch into block form: the full per-residual Jacobian touches slots
+    # (target f, host g), so H[f,g] += J_t^T W J_h, H[g,f] its transpose,
+    # and the diagonal collects both roles. Same-slot residuals are masked
+    # (not_self), so there is no double counting.
+    diag = H_tt + H_hh                                                # (F, 8, 8)
+    H_full = (
+        H_th
+        + jnp.transpose(H_th, (1, 0, 3, 2))
+        + jnp.zeros((F, F, _D, _D), r.dtype)
+        .at[jnp.arange(F), jnp.arange(F)]
+        .add(diag)
+    )
+    b_full = (b_t + b_h).reshape(D)
+    H_dense = jnp.transpose(H_full, (0, 2, 1, 3)).reshape(D, D)
+
+    # idepth blocks
+    Jr_w = lin.J_rho * w                                              # (P, F, 8)
+    H_rho = jnp.einsum("pfk,pfk->p", Jr_w, lin.J_rho)                 # (P,)
+    b_rho = jnp.einsum("pfk,pfk->p", Jr_w, r)                         # (P,)
+    # H_xr: coupling of idepth with target slot f and host slot
+    Hx_t = jnp.einsum("pfkd,pfk->pfd", Jt_w, lin.J_rho)               # (P, F, 8)
+    Hx_h = jnp.einsum("pfkd,pfk->pd", lin.J_h * w[..., None], lin.J_rho)  # (P, 8)
+    H_xr = Hx_t.reshape(P, D) + jnp.einsum("pd,ph->phd", Hx_h, onehot_h).reshape(P, D)
+
+    return H_dense, b_full, H_rho, b_rho, H_xr
+
+
+def _schur_reduce(H, b, H_rho, b_rho, H_xr, lam, point_valid):
+    """Eliminate the (diagonal) idepth block with LM damping."""
+    H_rho_d = jnp.where(point_valid, H_rho * (1.0 + lam) + 1e-10, 1.0)
+    scale = jnp.where(point_valid, 1.0 / H_rho_d, 0.0)
+    H_sc = H - jnp.einsum("pd,p,pe->de", H_xr, scale, H_xr)
+    b_sc = b - jnp.einsum("pd,p->d", H_xr, b_rho * scale)
+    return H_sc, b_sc, H_rho_d
+
+
+def _gauge_priors(state: BAState, cfg: DirectConfig):
+    """Diagonal priors: affine anchoring on valid slots + an identity guard
+    on invalid slots so the dense solve stays non-singular (their dx = 0
+    because their gradient is 0)."""
+    F = state.num_frames
+    ab_w = jnp.tile(
+        jnp.array([0.0] * 6 + [cfg.ba_prior_a, cfg.ba_prior_b], jnp.float32), F
+    )
+    fv = jnp.repeat(state.frame_valid, _D)
+    diag = jnp.where(fv, ab_w, 1.0)
+    # gradient of 0.5*w*ab^2 at the current ab values
+    ab_flat = jnp.zeros(F * _D, jnp.float32)
+    ab_flat = ab_flat.at[jnp.arange(F) * _D + 6].set(state.ab[:, 0])
+    ab_flat = ab_flat.at[jnp.arange(F) * _D + 7].set(state.ab[:, 1])
+    b_prior = jnp.where(fv, diag * ab_flat, 0.0)
+    return diag, b_prior
+
+
+def total_energy(
+    state: BAState, images: jax.Array, cam: PinholeCamera, cfg: DirectConfig
+) -> jax.Array:
+    """The exact functional the solver minimizes (photometric + prior +
+    affine anchors), for accept/reject consistency."""
+    lin = linearize(state, images, cam, cfg)
+    e_photo = jnp.sum(lin.energy)
+    delta_flat = state.delta.reshape(-1)
+    e_prior = jnp.dot(state.b_m, delta_flat) + 0.5 * jnp.dot(
+        delta_flat, state.H_m @ delta_flat
+    )
+    fv = state.frame_valid
+    e_ab = 0.5 * jnp.sum(
+        jnp.where(fv, cfg.ba_prior_a * state.ab[:, 0] ** 2
+                  + cfg.ba_prior_b * state.ab[:, 1] ** 2, 0.0)
+    )
+    return e_photo + e_prior + e_ab
+
+
+def ba_step(
+    state: BAState,
+    images: jax.Array,
+    cam: PinholeCamera,
+    cfg: DirectConfig,
+    lam: jax.Array,
+):
+    """One LM iteration: linearize, Schur-solve, back-substitute idepths."""
+    F = state.num_frames
+    D = F * _D
+    lin = linearize(state, images, cam, cfg)
+    H, b, H_rho, b_rho, H_xr = _assemble(lin, state, cfg)
+
+    # marginalization prior (gradient at current state: b_m + H_m delta)
+    delta_flat = state.delta.reshape(-1)
+    H = H + state.H_m
+    b = b + state.b_m + state.H_m @ delta_flat
+
+    diag_prior, b_prior = _gauge_priors(state, cfg)
+    H = H + jnp.diag(diag_prior)
+    b = b + b_prior
+
+    H_sc, b_sc, H_rho_d = _schur_reduce(H, b, H_rho, b_rho, H_xr, lam,
+                                        state.point_valid)
+    H_sc = H_sc + lam * jnp.diag(jnp.diag(H_sc)) + 1e-6 * jnp.eye(D, dtype=H.dtype)
+    dx = jnp.linalg.solve(H_sc, b_sc)                                  # (D,)
+
+    d_rho = (b_rho - H_xr @ dx) / H_rho_d
+    d_rho = jnp.where(state.point_valid, d_rho, 0.0)
+
+    dx_f = dx.reshape(F, _D)
+    dx_f = jnp.where(state.frame_valid[:, None], dx_f, 0.0)
+    T_new = se3_exp(-dx_f[:, :6]).compose(state.T)
+    new_state = state.replace(
+        T=jax.tree.map(
+            lambda cur, new: jnp.where(
+                state.frame_valid.reshape((-1,) + (1,) * (cur.ndim - 1)), new, cur
+            ),
+            state.T, T_new,
+        ),
+        ab=state.ab - dx_f[:, 6:],
+        delta=state.delta - dx_f,
+        idepth=jnp.clip(state.idepth - d_rho, cfg.idepth_min, cfg.idepth_max),
+    )
+    return new_state, lin
+
+
+def run_ba(
+    state: BAState,
+    images: jax.Array,
+    cam: PinholeCamera,
+    cfg: DirectConfig,
+) -> tuple[BAState, jax.Array]:
+    """Fixed-iteration LM loop with accept/reject (jit-friendly; reference:
+    DSOBundleAdjustment::run, 4 iterations with energy-based step control)."""
+
+    E0 = total_energy(state, images, cam, cfg)
+
+    def step(carry, _):
+        st, E, lam = carry
+        cand, _ = ba_step(st, images, cam, cfg, lam)
+        E_new = total_energy(cand, images, cam, cfg)
+        accept = E_new < E
+        st = jax.tree.map(
+            lambda a, b_: jnp.where(jnp.reshape(accept, (1,) * a.ndim), b_, a),
+            st, cand,
+        )
+        E = jnp.where(accept, E_new, E)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.4, 1e-7),
+                        jnp.minimum(lam * 5.0, 1e2))
+        return (st, E, lam), E
+
+    (state, E, _), _ = jax.lax.scan(
+        step, (state, E0, jnp.asarray(cfg.ba_lambda_init, jnp.float32)), None,
+        length=cfg.ba_iters,
+    )
+    return state, E
+
+
+# ---------------------------------------------------------------------------
+# Outlier management
+# ---------------------------------------------------------------------------
+
+
+def update_residual_status(
+    state: BAState, images: jax.Array, cam: PinholeCamera, cfg: DirectConfig
+) -> BAState:
+    """Deactivate residuals whose energy exceeds the outlier threshold and
+    points left with fewer than 2 active residuals (reference: outlier
+    ejection in linearizeAll + point status flags)."""
+    lin = linearize(state, images, cam, cfg)
+    good = lin.active & (lin.energy < cfg.outlier_energy)
+    res_active = state.res_active & (good | ~lin.active)
+    n_good = jnp.sum(good, axis=1)
+    point_valid = state.point_valid & (n_good >= 2)
+    return state.replace(res_active=res_active, point_valid=point_valid)
+
+
+# ---------------------------------------------------------------------------
+# Marginalization
+# ---------------------------------------------------------------------------
+
+
+def _nullspaces(state: BAState) -> jax.Array:
+    """(F*8, 7) global gauge directions: world translation (3), world
+    rotation (3), scale (1) — reference: computeNullspaces,
+    DSOBundleAdjustment.h:48."""
+    F = state.num_frames
+    R, t = state.T.R, state.T.t
+    fv = state.frame_valid[:, None, None]
+
+    N = jnp.zeros((F, _D, 7), jnp.float32)
+    # translation: eps_v = R_f s  (s = world shift)
+    N = N.at[:, 0:3, 0:3].set(R * fv)
+    # rotation: eps_v = skew(t_f) R_f phi, eps_w = R_f phi
+    N = N.at[:, 0:3, 3:6].set(jnp.einsum("fij,fjk->fik", skew(t), R) * fv)
+    N = N.at[:, 3:6, 3:6].set(R * fv)
+    # scale: eps_v = t_f
+    N = N.at[:, 0:3, 6].set(t * fv[..., 0])
+    return N.reshape(F * _D, 7)
+
+
+def orthogonalize_gradient(state: BAState, b: jax.Array) -> jax.Array:
+    """Project the gauge directions out of a gradient vector (reference:
+    orthogonalize, DSOBundleAdjustment.h:149)."""
+    N = _nullspaces(state)
+    NtN = N.T @ N + 1e-6 * jnp.eye(7, dtype=b.dtype)
+    coeff = jnp.linalg.solve(NtN, N.T @ b)
+    return b - N @ coeff
+
+
+def marginalize_frame(
+    state: BAState,
+    images: jax.Array,
+    cam: PinholeCamera,
+    cfg: DirectConfig,
+    slot: jax.Array,
+) -> BAState:
+    """Marginalize the keyframe in `slot`:
+      1. fold the FEJ-shifted residuals of points hosted there into the
+         prior (Schur over their idepths),
+      2. drop those points + all residuals targeting the slot,
+      3. Schur-eliminate the slot's 8 dof from (H_m, b_m),
+      4. orthogonalize the prior gradient against the gauge nullspace.
+    Jittable with a traced slot index."""
+    F, P = state.num_frames, state.num_points
+    D = F * _D
+    slot = jnp.asarray(slot, jnp.int32)
+
+    # --- 1. marginalize hosted points into the prior -----------------------
+    hosted = state.point_valid & (state.host == slot)
+    marg_state = state.replace(
+        point_valid=hosted,
+        # keep only residuals NOT targeting the slot itself (self-masked
+        # anyway) — hosted points' residuals to other frames
+    )
+    lin = linearize(marg_state, images, cam, cfg)
+    # FEJ shift: r0 = r - J_t dx_t - J_h dx_h - J_rho d_rho  (res_toZeroF)
+    d_t = state.delta[None, :, None, :]                                # (1,F,1,8)
+    d_h = state.delta[state.host][:, None, None, :]                    # (P,1,1,8)
+    d_rho = (state.idepth - state.idepth_fej)[:, None, None]
+    r0 = (
+        lin.r
+        - jnp.sum(lin.J_t * d_t, axis=-1)
+        - jnp.sum(lin.J_h * d_h, axis=-1)
+        - lin.J_rho * d_rho
+    )
+    H_pts, b_pts, H_rho, b_rho, H_xr = _assemble(lin, marg_state, cfg, r_shift=r0)
+    H_rho_d = jnp.where(hosted, H_rho + 1e-8, 1.0)
+    scale = jnp.where(hosted, 1.0 / H_rho_d, 0.0)
+    H_add = H_pts - jnp.einsum("pd,p,pe->de", H_xr, scale, H_xr)
+    b_add = b_pts - jnp.einsum("pd,p->d", H_xr, b_rho * scale)
+
+    H_m = state.H_m + H_add
+    b_m = state.b_m + b_add
+
+    # --- 2. drop hosted points + residuals targeting the slot --------------
+    point_valid = state.point_valid & ~hosted
+    res_active = state.res_active & (jnp.arange(F)[None, :] != slot)
+
+    # --- 3. Schur out the slot's 8 dof from the prior ----------------------
+    # fold the slot's accumulated delta into b first (its delta tracking ends)
+    sel = (jnp.arange(D) // _D) == slot                                 # (D,) slot rows
+    delta_flat = state.delta.reshape(-1) * sel
+    b_m = b_m + H_m @ delta_flat
+
+    Hmm = H_m * sel[:, None] * sel[None, :]
+    Hmm_block = Hmm + jnp.diag(jnp.where(sel, 1e-6, 1.0))               # invertible
+    # extract cross rows: H_am (keep x marg)
+    keep = ~sel
+    H_am = H_m * keep[:, None] * sel[None, :]
+    Hmm_inv = jnp.linalg.inv(Hmm_block) * sel[:, None] * sel[None, :]
+    H_m_new = H_m * keep[:, None] * keep[None, :] - H_am @ Hmm_inv @ H_am.T
+    b_m_new = b_m * keep - H_am @ (Hmm_inv @ (b_m * sel))
+
+    # symmetrize against accumulation drift
+    H_m_new = 0.5 * (H_m_new + H_m_new.T)
+
+    frame_valid = state.frame_valid & (jnp.arange(F) != slot)
+    state = state.replace(
+        point_valid=point_valid,
+        res_active=res_active,
+        frame_valid=frame_valid,
+        H_m=H_m_new,
+        b_m=b_m_new,
+        delta=jnp.where((jnp.arange(F) == slot)[:, None], 0.0, state.delta),
+    )
+
+    # --- 4. gauge-orthogonalize the prior gradient --------------------------
+    return state.replace(b_m=orthogonalize_gradient(state, state.b_m))

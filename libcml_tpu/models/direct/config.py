@@ -37,12 +37,18 @@ class DirectConfig:
     ba_lambda_init: float = 1e-5
     idepth_min: float = 1e-4
     idepth_max: float = 50.0
+    ba_prior_a: float = 10.0      # per-frame affine-a anchor weight
+    ba_prior_b: float = 0.1       # per-frame affine-b anchor weight
 
     # initializer
     init_iters: int = 24
     init_points: int = 1024
     init_reg_weight: float = 0.8
     init_coupling: float = 1.0
+    init_alpha_w: float = 0.4        # gauge anchor weight while not snapped
+    init_min_translation: float = 0.02  # parallax (|t| * mean rho) to snap
+    init_snapped_age: int = 3        # consecutive snapped frames to succeed
+    init_smooth_blend: float = 0.0  # per-iteration idepth smoothing blend
 
     # tracer (epipolar search)
     trace_steps: int = 24         # discretized epipolar samples

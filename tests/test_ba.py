@@ -1,0 +1,138 @@
+"""Windowed photometric BA on the synthetic scene: perturbed poses/depths
+must converge back to ground truth, and marginalization must keep the
+window anchored (no drift/blowup after dropping a frame)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libcml_tpu.core.camera import PinholeCamera
+from libcml_tpu.core.lie import SE3, se3_exp
+from libcml_tpu.data.synthetic import SyntheticScene, forward_trajectory
+from libcml_tpu.models.direct.ba import (
+    anchor_first_frame,
+    marginalize_frame,
+    run_ba,
+    total_energy,
+)
+from libcml_tpu.models.direct.config import DirectConfig
+from libcml_tpu.models.direct.selector import select_points
+from libcml_tpu.models.direct.window import add_keyframe, add_points, empty_window
+from libcml_tpu.ops.image import build_gradient_pyramid, gradient_image
+
+CFG = DirectConfig(max_frames=5, max_points=512, ba_iters=8)
+CAM = PinholeCamera.make(220.0, 220.0, 127.5, 95.5, 256, 192)
+KF_FRAMES = [0, 3, 6, 9]
+PTS_PER_KF = 96
+
+
+def _build_window(pose_noise=0.0, depth_noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    scene = SyntheticScene.default(CAM, seed=3)
+    poses = forward_trajectory(10, step=0.12)
+
+    window = empty_window(CFG, CAM.height, CAM.width)
+    gt = []
+    for n, i in enumerate(KF_FRAMES):
+        img, idep = scene.render(*poses[i])
+        grad0 = gradient_image(jnp.asarray(img))
+        R, t = poses[i]
+        T_gt = SE3(R=jnp.asarray(R, jnp.float32), t=jnp.asarray(t, jnp.float32))
+        gt.append((T_gt, idep))
+        xi = jnp.asarray(rng.normal(0, pose_noise, 6), jnp.float32) if (pose_noise and n > 0) else jnp.zeros(6)
+        T0 = se3_exp(xi).compose(T_gt)
+        window, slot = add_keyframe(window, grad0, T0, jnp.zeros(2), jnp.asarray(i))
+
+        uv, valid, _ = select_points(grad0, PTS_PER_KF)
+        uvi = np.asarray(uv).astype(int)
+        rho_gt = idep[np.clip(uvi[:, 1], 0, CAM.height - 1), np.clip(uvi[:, 0], 0, CAM.width - 1)]
+        ok = np.asarray(valid) & (rho_gt > 1e-3)
+        rho = rho_gt * (1.0 + rng.normal(0, depth_noise, rho_gt.shape)) if depth_noise else rho_gt
+        window = add_points(
+            window, slot, uv, jnp.asarray(rho, jnp.float32), jnp.asarray(ok), CFG
+        )
+    window = window.replace(ba=anchor_first_frame(window.ba, 0, CFG))
+    return window, gt
+
+
+def _pose_errors(ba, gt):
+    """Relative-pose errors slot i vs slot 0 (gauge-free comparison)."""
+    errs_r, errs_t = [], []
+    T0_est = jax.tree.map(lambda x: x[0], ba.T)
+    T0_gt = gt[0][0]
+    for n in range(1, len(gt)):
+        Ti_est = jax.tree.map(lambda x: x[n], ba.T)
+        rel_est = Ti_est.compose(T0_est.inverse())
+        rel_gt = gt[n][0].compose(T0_gt.inverse())
+        dR = np.asarray(rel_est.R) @ np.asarray(rel_gt.R).T
+        errs_r.append(np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))))
+        errs_t.append(np.linalg.norm(np.asarray(rel_est.t) - np.asarray(rel_gt.t)))
+    return np.array(errs_r), np.array(errs_t)
+
+
+def test_ba_recovers_perturbed_poses():
+    window, gt = _build_window(pose_noise=0.004, depth_noise=0.0, seed=1)
+    r0, t0 = _pose_errors(window.ba, gt)
+
+    ba, E = run_ba(window.ba, window.images, CAM, CFG)
+    r1, t1 = _pose_errors(ba, gt)
+
+    assert np.isfinite(float(E))
+    assert r1.max() < 0.25 * r0.max() + 1e-3, f"rot {r0} -> {r1}"
+    assert t1.max() < 0.25 * t0.max() + 1e-4, f"trans {t0} -> {t1}"
+    assert r1.max() < 0.1
+    assert t1.max() < 0.01
+
+
+def test_ba_refines_noisy_depth():
+    window, gt = _build_window(pose_noise=0.0, depth_noise=0.10, seed=2)
+    ba0 = window.ba
+
+    # GT depth error before
+    def depth_err(ba):
+        errs = []
+        for n in range(len(gt)):
+            sel = np.asarray(ba.point_valid) & (np.asarray(ba.host) == n)
+            uvi = np.asarray(ba.uv)[sel].astype(int)
+            rho_gt = gt[n][1][uvi[:, 1], uvi[:, 0]]
+            ok = rho_gt > 1e-3
+            errs.append(np.abs(np.asarray(ba.idepth)[sel][ok] / rho_gt[ok] - 1.0))
+        return np.concatenate(errs)
+
+    e0 = depth_err(ba0)
+    ba, _ = run_ba(ba0, window.images, CAM, CFG)
+    e1 = depth_err(ba)
+    assert np.median(e1) < 0.5 * np.median(e0), (
+        f"median idepth err {np.median(e0):.4f} -> {np.median(e1):.4f}"
+    )
+
+
+def test_marginalization_keeps_window_anchored():
+    window, gt = _build_window(pose_noise=0.003, depth_noise=0.05, seed=3)
+    ba, _ = run_ba(window.ba, window.images, CAM, CFG)
+    r_before, t_before = _pose_errors(ba, gt)
+
+    # marginalize slot 0 (oldest)
+    ba2 = marginalize_frame(ba, window.images, CAM, CFG, jnp.asarray(0))
+    assert not bool(ba2.frame_valid[0])
+    assert not np.any(np.asarray(ba2.point_valid) & (np.asarray(ba2.host) == 0))
+    assert np.isfinite(np.asarray(ba2.H_m)).all()
+    assert np.isfinite(np.asarray(ba2.b_m)).all()
+
+    # running BA again must stay finite and keep surviving relative poses
+    ba3, E = run_ba(ba2, window.images, CAM, CFG)
+    assert np.isfinite(float(E))
+
+    def rel_err_after(ba_state):
+        errs_t = []
+        T1 = jax.tree.map(lambda x: x[1], ba_state.T)
+        for n in range(2, len(gt)):
+            Tn = jax.tree.map(lambda x: x[n], ba_state.T)
+            rel_est = Tn.compose(T1.inverse())
+            rel_gt = gt[n][0].compose(gt[1][0].inverse())
+            errs_t.append(np.linalg.norm(np.asarray(rel_est.t) - np.asarray(rel_gt.t)))
+        return np.array(errs_t)
+
+    t_after = rel_err_after(ba3)
+    assert t_after.max() < 0.02, f"post-marg trans errors {t_after}"
