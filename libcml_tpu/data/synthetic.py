@@ -68,8 +68,9 @@ class Plane:
         v = (rel @ self.e2) * self.tex_scale
         T = self.texture
         H, W = T.shape
-        u = np.mod(u, W - 1)
-        v = np.mod(v, H - 1)
+        # mod can land exactly on the modulus through float rounding
+        u = np.clip(np.mod(u, W - 1), 0.0, W - 1 - 1e-4)
+        v = np.clip(np.mod(v, H - 1), 0.0, H - 1 - 1e-4)
         x0 = np.floor(u).astype(int)
         y0 = np.floor(v).astype(int)
         fx = u - x0

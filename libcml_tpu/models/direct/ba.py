@@ -447,13 +447,15 @@ def update_residual_status(
     state: BAState, images: jax.Array, cam: PinholeCamera, cfg: DirectConfig
 ) -> BAState:
     """Deactivate residuals whose energy exceeds the outlier threshold and
-    points left with fewer than 2 active residuals (reference: outlier
-    ejection in linearizeAll + point status flags)."""
+    points left with no active residual at all (reference: outlier ejection
+    in linearizeAll + point status flags; a point's first residual appears
+    when its host pairs with ONE other keyframe, so >=1 is the floor — a
+    >=2 cut would wipe every point while the window holds two frames)."""
     lin = linearize(state, images, cam, cfg)
     good = lin.active & (lin.energy < cfg.outlier_energy)
     res_active = state.res_active & (good | ~lin.active)
     n_good = jnp.sum(good, axis=1)
-    point_valid = state.point_valid & (n_good >= 2)
+    point_valid = state.point_valid & (n_good >= 1)
     return state.replace(res_active=res_active, point_valid=point_valid)
 
 

@@ -5,6 +5,9 @@ import so multi-chip sharding paths are exercised without TPU hardware
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# persistent compilation cache: repeated test runs skip recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

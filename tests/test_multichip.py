@@ -1,0 +1,93 @@
+"""Multi-chip sharding validation on the 8-device virtual CPU mesh
+(SURVEY.md §4: the TPU substitute for multi-node tests without a cluster).
+
+Checks (1) the driver contract in __graft_entry__, and (2) that the
+point-sharded BA step is numerically identical to the single-device run —
+the determinism discipline the reference enforces with its dual-SLAM
+TEST_DETERMINISITY self-check (reference: config.h.in:19,
+modslam.cpp:234-252)."""
+
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.all(np.isfinite(np.asarray(out.T_ji.t)))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_ba_matches_single_device():
+    import jax.numpy as jnp
+
+    from libcml_tpu.core.camera import PinholeCamera
+    from libcml_tpu.core.lie import SE3, se3_exp
+    from libcml_tpu.models.direct import ba as ba_mod
+    from libcml_tpu.models.direct import window as win_mod
+    from libcml_tpu.models.direct.config import DirectConfig
+    from libcml_tpu.ops.image import build_gradient_pyramid
+    from libcml_tpu.parallel.sharding import (
+        make_mesh,
+        shard_ba_state,
+        sharded_ba_step,
+    )
+
+    P = 128
+    cfg = DirectConfig(num_levels=2, max_points=P, max_frames=3, ba_iters=2)
+    H, W = 32, 48
+    cam = PinholeCamera.make(100.0, 100.0, W / 2 - 0.5, H / 2 - 0.5, W, H)
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(
+        np.cumsum(rng.standard_normal((H, W)), axis=1).astype(np.float32) * 5.0
+        + 127.0
+    )
+    grad0 = build_gradient_pyramid(img, 1)[0]
+
+    window = win_mod.empty_window(cfg, H, W)
+    window, s0 = win_mod.add_keyframe(
+        window, grad0, SE3.identity(), jnp.zeros(2), jnp.asarray(0, jnp.int32)
+    )
+    window = window.replace(ba=ba_mod.anchor_first_frame(window.ba, 0, cfg))
+    T1 = se3_exp(jnp.asarray([0.02, 0, 0.05, 0, 0.003, 0], jnp.float32))
+    window, _ = win_mod.add_keyframe(
+        window, grad0, T1, jnp.zeros(2), jnp.asarray(1, jnp.int32)
+    )
+    uv = jnp.asarray(rng.uniform([4, 4], [W - 4, H - 4], (P, 2)), jnp.float32)
+    rho = jnp.asarray(rng.uniform(0.5, 1.5, (P,)), jnp.float32)
+    window = win_mod.add_points(window, s0, uv, rho, jnp.ones((P,), bool), cfg)
+
+    # single device
+    ref_state, ref_E = jax.jit(
+        lambda st, im: ba_mod.run_ba(st, im, cam, cfg)
+    )(window.ba, window.images)
+
+    # 8-way point-sharded
+    mesh = make_mesh(8)
+    st_sharded = shard_ba_state(window.ba, mesh)
+    step = sharded_ba_step(cam, cfg, mesh)
+    out_state, out_E = step(st_sharded, window.images)
+
+    np.testing.assert_allclose(
+        np.asarray(out_state.T.t), np.asarray(ref_state.T.t), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.idepth), np.asarray(ref_state.idepth), atol=1e-4
+    )
+    assert np.isfinite(float(out_E))
