@@ -1,9 +1,12 @@
 import os
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import numpy as np
 import jax, jax.numpy as jnp
+
+# the TPU plugin (sitecustomize) overrides JAX_PLATFORMS; force CPU here
+jax.config.update("jax_platforms", "cpu")
 
 from libcml_tpu.core.camera import PinholeCamera
 from libcml_tpu.data.synthetic import SyntheticScene, forward_trajectory

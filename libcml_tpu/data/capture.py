@@ -76,13 +76,37 @@ def load_dataset(path: str) -> AbstractCapture:
     right capture (reference: loadDataset try-in-order, modslam.cpp:53-127)."""
     import os
 
+    from libcml_tpu.data.eth3d import Eth3DCapture, looks_like_eth3d
+    from libcml_tpu.data.euroc import EurocCapture, looks_like_euroc
     from libcml_tpu.data.kitti import KittiCapture, looks_like_kitti
+    from libcml_tpu.data.misc import (
+        RobotCarCapture,
+        VideoCapture,
+        ZipStereopolisCapture,
+        looks_like_robotcar,
+        looks_like_stereopolis,
+        looks_like_video,
+    )
+    from libcml_tpu.data.tartanair import TartanAirCapture, looks_like_tartanair
     from libcml_tpu.data.tum import TumMonoCapture, looks_like_tum
 
     if not os.path.exists(path):
         raise FileNotFoundError(path)
-    if looks_like_kitti(path):
-        return KittiCapture(path)
+    # try-in-order, mirroring the reference's detection sequence
+    if looks_like_video(path):
+        return VideoCapture(path)
+    if looks_like_stereopolis(path):
+        return ZipStereopolisCapture(path)
     if looks_like_tum(path):
         return TumMonoCapture(path)
+    if looks_like_kitti(path):
+        return KittiCapture(path)
+    if looks_like_euroc(path):
+        return EurocCapture(path)
+    if looks_like_tartanair(path):
+        return TartanAirCapture(path)
+    if looks_like_eth3d(path):
+        return Eth3DCapture(path)
+    if looks_like_robotcar(path):
+        return RobotCarCapture(path)
     raise ValueError(f"unrecognized dataset layout at {path}")

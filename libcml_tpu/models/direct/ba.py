@@ -386,6 +386,23 @@ def ba_step(
     H_sc = H_sc + lam * jnp.diag(jnp.diag(H_sc)) + 1e-6 * jnp.eye(D, dtype=H.dtype)
     dx = jnp.linalg.solve(H_sc, b_sc)                                  # (D,)
 
+    # Project the SCALE gauge mode out of the step (reference:
+    # orthogonalize(&x) after solving, DSOBundleAdjustment solveSystem /
+    # DSOBundleAdjustment.h:149). Scale has ~zero photometric curvature, so
+    # the raw solve takes noise-driven steps along it — the monocular scale
+    # RANDOM-WALKS a few percent per BA run and the accumulated drift
+    # eventually breaks the FEJ linearization and the tracker working off
+    # the window. Global translation/rotation are NOT projected: they are
+    # pinned by the first-frame anchor (and, once it is marginalized, by
+    # the prior that inherits it), and projecting them would fight that
+    # anchor — the solver then cannot remove the mean component of
+    # per-frame errors and equilibrates away from the optimum.
+    N = _nullspaces(state)[:, 6:7]                                     # (D, 1)
+    coeff = jnp.linalg.solve(
+        N.T @ N + 1e-6 * jnp.eye(1, dtype=dx.dtype), N.T @ dx
+    )
+    dx = dx - N @ coeff
+
     d_rho = (b_rho - H_xr @ dx) / H_rho_d
     d_rho = jnp.where(state.point_valid, d_rho, 0.0)
 
@@ -438,6 +455,48 @@ def run_ba(
     return state, E
 
 
+def relinearize(state: BAState) -> BAState:
+    """Move the linearization point to the CURRENT state, shifting the
+    marginalization prior's expansion point along (exact for a quadratic:
+    E(d) = b·d + 0.5 d'Hd with d = d' + delta  =>  b' = b + H delta, H
+    unchanged). Called once per keyframe event so Gauss-Newton always runs
+    with fresh Jacobians — freezing geometry at insertion values (a stricter
+    discipline than the reference's, which re-linearizes every iteration and
+    applies FEJ only to the frame-state deltas entangled with the prior)
+    stalls convergence once tracked states drift ~1 deg/percent from their
+    insertion values. Spurious information gain along the gauge directions —
+    the failure FEJ guards against — is excluded here by the explicit
+    nullspace projection of every solved step (see ba_step)."""
+    delta_flat = state.delta.reshape(-1)
+    return state.replace(
+        b_m=state.b_m + state.H_m @ delta_flat,
+        delta=jnp.zeros_like(state.delta),
+        T_fej=state.T,
+        ab_fej=state.ab,
+        idepth_fej=state.idepth,
+    )
+
+
+def refresh_fej(state: BAState) -> BAState:
+    """Re-anchor the linearization point at the CURRENT state.
+
+    FEJ exists to keep Jacobians consistent with the marginalization prior;
+    while the prior is empty (or a pure diagonal gauge anchor, as right after
+    initialization) there is no consistency to protect, and re-linearizing
+    turns the solver into plain Gauss-Newton, removing the first-order bias
+    a far-off linearization point leaves behind. Callers must NOT use this
+    once off-diagonal marginalization information has been accumulated —
+    doing so silently re-introduces the gauge drift FEJ prevents
+    (reference: the FEJ discipline in DSOBundleAdjustment, EnergyFunctional
+    adHost/adTarget evaluated at first estimates)."""
+    return state.replace(
+        T_fej=state.T,
+        ab_fej=state.ab,
+        idepth_fej=state.idepth,
+        delta=jnp.zeros_like(state.delta),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Outlier management
 # ---------------------------------------------------------------------------
@@ -462,6 +521,40 @@ def update_residual_status(
 # ---------------------------------------------------------------------------
 # Marginalization
 # ---------------------------------------------------------------------------
+
+
+def _psd_project(H: jax.Array) -> jax.Array:
+    """Project a (nearly) symmetric matrix onto the PSD cone.
+
+    Repeated float32 Schur complements on ~1e10-magnitude photometric
+    Hessians leave H_m with small NEGATIVE eigenvalues; an indefinite
+    quadratic prior is unbounded below, so the LM accept/reject test happily
+    walks the window off to infinity (the failure mode is a hugely negative
+    total energy). The reference avoids this by doing all marginalization
+    algebra in double (scalar_t = double, types.h:365); on TPU we stay f32
+    and enforce PSD explicitly — the window prior is (F*8)^2 = tiny, so the
+    eigh is negligible."""
+    H = 0.5 * (H + H.T)
+    w, V = jnp.linalg.eigh(H)
+    w = jnp.maximum(w, 0.0)
+    return (V * w[None, :]) @ V.T
+
+
+def _psd_project_with_gradient(
+    H: jax.Array, b: jax.Array, rel_floor: float = 1e-7
+) -> tuple[jax.Array, jax.Array]:
+    """PSD-project H AND restrict b to the numerically significant range of
+    H. A proper Gaussian marginal always has its gradient inside the range
+    of its Hessian; f32 roundoff breaks that, leaving gradient components
+    along ~zero-curvature directions — an unbounded linear energy slope that
+    LM rides to infinity even when H itself is PSD."""
+    H = 0.5 * (H + H.T)
+    w, V = jnp.linalg.eigh(H)
+    w = jnp.maximum(w, 0.0)
+    keep = w > rel_floor * jnp.max(w)
+    H_out = (V * jnp.where(keep, w, 0.0)[None, :]) @ V.T
+    b_out = V @ (jnp.where(keep, V.T @ b, 0.0))
+    return H_out, b_out
 
 
 def _nullspaces(state: BAState) -> jax.Array:
@@ -498,6 +591,7 @@ def marginalize_frame(
     cam: PinholeCamera,
     cfg: DirectConfig,
     slot: jax.Array,
+    exact: bool = False,
 ) -> BAState:
     """Marginalize the keyframe in `slot`:
       1. fold the FEJ-shifted residuals of points hosted there into the
@@ -534,16 +628,34 @@ def marginalize_frame(
     H_add = H_pts - jnp.einsum("pd,p,pe->de", H_xr, scale, H_xr)
     b_add = b_pts - jnp.einsum("pd,p->d", H_xr, b_rho * scale)
 
-    H_m = state.H_m + H_add
-    b_m = state.b_m + b_add
+    # marg-weight factor (reference: setting_margWeightFac = 0.5 applied to
+    # the freshly marginalized information) + PSD guard on the point-Schur
+    mw = cfg.marg_weight
+    H_m = state.H_m + mw * _psd_project(H_add)
+    b_m = state.b_m + mw * b_add
 
     # --- 2. drop hosted points + residuals targeting the slot --------------
     point_valid = state.point_valid & ~hosted
     res_active = state.res_active & (jnp.arange(F)[None, :] != slot)
 
     # --- 3. Schur out the slot's 8 dof from the prior ----------------------
-    # fold the slot's accumulated delta into b first (its delta tracking ends)
     sel = (jnp.arange(D) // _D) == slot                                 # (D,) slot rows
+
+    # Fold the slot's per-frame affine anchors (the 0.5*w*ab^2 terms that
+    # _gauge_priors applies to LIVE slots) into the prior before
+    # eliminating: without them the slot's affine dofs are eliminated
+    # nearly unconstrained and the Schur pushes the kept frames' affine
+    # states (and through them, via cross terms, the geometry) off target.
+    aff_w = jnp.tile(
+        jnp.array([0.0] * 6 + [cfg.ba_prior_a, cfg.ba_prior_b], jnp.float32), F
+    )
+    ab_fej_flat = jnp.zeros(D, jnp.float32)
+    ab_fej_flat = ab_fej_flat.at[jnp.arange(F) * _D + 6].set(state.ab_fej[:, 0])
+    ab_fej_flat = ab_fej_flat.at[jnp.arange(F) * _D + 7].set(state.ab_fej[:, 1])
+    H_m = H_m + jnp.diag(jnp.where(sel, aff_w, 0.0))
+    b_m = b_m + jnp.where(sel, aff_w * ab_fej_flat, 0.0)
+
+    # fold the slot's accumulated delta into b (its delta tracking ends)
     delta_flat = state.delta.reshape(-1) * sel
     b_m = b_m + H_m @ delta_flat
 
@@ -556,9 +668,6 @@ def marginalize_frame(
     H_m_new = H_m * keep[:, None] * keep[None, :] - H_am @ Hmm_inv @ H_am.T
     b_m_new = b_m * keep - H_am @ (Hmm_inv @ (b_m * sel))
 
-    # symmetrize against accumulation drift
-    H_m_new = 0.5 * (H_m_new + H_m_new.T)
-
     frame_valid = state.frame_valid & (jnp.arange(F) != slot)
     state = state.replace(
         point_valid=point_valid,
@@ -569,5 +678,134 @@ def marginalize_frame(
         delta=jnp.where((jnp.arange(F) == slot)[:, None], 0.0, state.delta),
     )
 
-    # --- 4. gauge-orthogonalize the prior gradient --------------------------
-    return state.replace(b_m=orthogonalize_gradient(state, state.b_m))
+    if exact:
+        # no regularizing repairs — for linear-consistency tests
+        return state
+
+    # --- 4. gauge-orthogonalize the prior gradient, then repair the f32
+    # Schur roundoff: PSD-project H_m and restrict b_m to its range --------
+    b_m_new = orthogonalize_gradient(state, state.b_m)
+    H_m_fix, b_m_fix = _psd_project_with_gradient(state.H_m, b_m_new)
+    return state.replace(H_m=H_m_fix, b_m=b_m_fix)
+
+
+def marginalize_frame_f64(
+    state: BAState,
+    images: jax.Array,
+    cam: PinholeCamera,
+    cfg: DirectConfig,
+    slot: int,
+) -> BAState:
+    """Frame marginalization with the prior algebra in HOST float64.
+
+    The per-frame hot path stays f32 on device; this once-per-keyframe step
+    moves the tiny (F*8)^2 Schur algebra to numpy f64. Why: photometric
+    Hessians reach ~1e10 (intensity^2 px^2 units), and the Schur complement
+    cancels entries at that magnitude — in f32 the cancellation leaves ~1e3
+    absolute noise, which swamps the weak directions of the prior (notably
+    monocular SCALE once the anchored first frame is gone), producing ~10%%
+    scale drift per marginalization. The reference runs this math in double
+    (scalar_t = double, types.h:365); we do the same where it matters while
+    keeping every hot loop f32/TPU-resident. The device linearization (r, w,
+    J) is ~1 MB once per keyframe — negligible transfer."""
+    F, P = state.num_frames, state.num_points
+    D = F * _D
+    slot = int(slot)
+
+    # device: one linearization sweep restricted to hosted points
+    hosted_j = state.point_valid & (state.host == slot)
+    lin = linearize(state.replace(point_valid=hosted_j), images, cam, cfg)
+
+    import numpy as np
+
+    r = np.asarray(lin.r, np.float64)
+    w = np.asarray(lin.w, np.float64)
+    J_t = np.asarray(lin.J_t, np.float64)
+    J_h = np.asarray(lin.J_h, np.float64)
+    J_rho = np.asarray(lin.J_rho, np.float64)
+    delta = np.asarray(state.delta, np.float64)        # (F, 8)
+    host = np.asarray(state.host)
+    hosted = np.asarray(hosted_j)
+    idepth = np.asarray(state.idepth, np.float64)
+    idepth_fej = np.asarray(state.idepth_fej, np.float64)
+    ab_fej = np.asarray(state.ab_fej, np.float64)
+
+    # FEJ shift r0 = r - J_t d_t - J_h d_h - J_rho d_rho (res_toZeroF)
+    d_t = delta[None, :, None, :]
+    d_h = delta[host][:, None, None, :]
+    d_rho = (idepth - idepth_fej)[:, None, None]
+    r0 = (r - np.sum(J_t * d_t, -1) - np.sum(J_h * d_h, -1) - J_rho * d_rho)
+
+    # fold hosted-point photometric info (einsum mirror of _assemble)
+    onehot = np.zeros((P, F)); onehot[np.arange(P), host] = 1.0
+    Jt_w = J_t * w[..., None]
+    Jh_w = J_h * w[..., None]
+    H_tt = np.einsum("pfkd,pfke->fde", Jt_w, J_t)
+    H_hh = np.einsum("pfkd,pfke,ph->hde", Jh_w, J_h, onehot)
+    H_th = np.einsum("pfkd,pfke,ph->fhde", Jt_w, J_h, onehot)
+    b_t = np.einsum("pfkd,pfk->fd", Jt_w, r0)
+    b_h = np.einsum("pfkd,pfk,ph->hd", Jh_w, r0, onehot)
+    Hfull = H_th + np.transpose(H_th, (1, 0, 3, 2))
+    Hfull[np.arange(F), np.arange(F)] += H_tt + H_hh
+    H_pts = np.transpose(Hfull, (0, 2, 1, 3)).reshape(D, D)
+    b_pts = (b_t + b_h).reshape(D)
+    Jr_w = J_rho * w
+    H_rho = np.einsum("pfk,pfk->p", Jr_w, J_rho)
+    b_rho = np.einsum("pfk,pfk->p", Jr_w, r0)
+    Hx_t = np.einsum("pfkd,pfk->pfd", Jt_w, J_rho).reshape(P, D)
+    Hx_h = np.einsum("pfkd,pfk->pd", Jh_w, J_rho)
+    H_xr = Hx_t.copy()
+    for p in range(P):
+        if hosted[p]:
+            H_xr[p, host[p] * _D : host[p] * _D + _D] += Hx_h[p]
+
+    scale = np.where(hosted, 1.0 / np.where(hosted, H_rho + 1e-12, 1.0), 0.0)
+    H_add = H_pts - (H_xr * scale[:, None]).T @ H_xr
+    b_add = b_pts - H_xr.T @ (b_rho * scale)
+
+    mw = cfg.marg_weight
+    H_m = np.asarray(state.H_m, np.float64) + mw * H_add
+    b_m = np.asarray(state.b_m, np.float64) + mw * b_add
+
+    # fold the slot's affine anchors (see marginalize_frame)
+    H_m[slot * _D + 6, slot * _D + 6] += cfg.ba_prior_a
+    H_m[slot * _D + 7, slot * _D + 7] += cfg.ba_prior_b
+    b_m[slot * _D + 6] += cfg.ba_prior_a * ab_fej[slot, 0]
+    b_m[slot * _D + 7] += cfg.ba_prior_b * ab_fej[slot, 1]
+
+    # fold the slot's delta, then Schur its 8 dofs
+    sel = np.zeros(D, bool); sel[slot * _D : slot * _D + _D] = True
+    dflat = delta.reshape(-1) * sel
+    b_m = b_m + H_m @ dflat
+    keep = ~sel
+    Hmm = H_m[np.ix_(sel, sel)]
+    Hkm = H_m[np.ix_(keep, sel)]
+    Hmm_inv = np.linalg.inv(Hmm + 1e-10 * np.eye(_D))
+    H_new = np.zeros((D, D)); b_new = np.zeros(D)
+    H_new[np.ix_(keep, keep)] = H_m[np.ix_(keep, keep)] - Hkm @ Hmm_inv @ Hkm.T
+    b_new[keep] = b_m[keep] - Hkm @ (Hmm_inv @ b_m[sel])
+    H_new = 0.5 * (H_new + H_new.T)
+
+    # drop hosted points + residuals targeting the slot; invalidate the frame
+    point_valid = state.point_valid & ~hosted_j
+    res_active = state.res_active & (jnp.arange(F)[None, :] != slot)
+    frame_valid = state.frame_valid & (jnp.arange(F) != slot)
+    state = state.replace(
+        point_valid=point_valid,
+        res_active=res_active,
+        frame_valid=frame_valid,
+        delta=jnp.where((jnp.arange(F) == slot)[:, None], 0.0, state.delta),
+    )
+
+    # gauge-orthogonalize b (f64) + PSD floor, then back to f32 device state
+    N = np.asarray(_nullspaces(state), np.float64)
+    coeff = np.linalg.solve(N.T @ N + 1e-9 * np.eye(7), N.T @ b_new)
+    b_new = b_new - N @ coeff
+    ew, V = np.linalg.eigh(H_new)
+    ew = np.maximum(ew, 0.0)
+    H_new = (V * ew[None, :]) @ V.T
+
+    return state.replace(
+        H_m=jnp.asarray(H_new, jnp.float32),
+        b_m=jnp.asarray(b_new, jnp.float32),
+    )

@@ -29,6 +29,8 @@ class DirectConfig:
     # tracker
     tracker_iters: int = 12       # GN/LM iterations per pyramid level
     huber_intensity: float = 9.0  # Huber threshold on intensity residual
+    tracker_cutoff: float = 20.0  # hard zero-weight residual cutoff
+                                  # (reference: setting_coarseCutoffTH)
     outlier_energy: float = 12.0 * 12.0  # per-pattern outlier threshold
     gradient_weight_c2: float = 50.0 * 50.0  # gradient-dependent weighting
 
@@ -37,8 +39,17 @@ class DirectConfig:
     ba_lambda_init: float = 1e-5
     idepth_min: float = 1e-4
     idepth_max: float = 50.0
-    ba_prior_a: float = 10.0      # per-frame affine-a anchor weight
-    ba_prior_b: float = 0.1       # per-frame affine-b anchor weight
+    # Affine brightness anchors. The (a, b) states have global nullspaces
+    # (a constant added to every b, or every a, leaves residuals invariant);
+    # if weakly pinned they drift, and the drifted deltas exert spurious
+    # prior forces on the GEOMETRIC dofs through H_m cross terms after
+    # marginalization. The reference pins affine hard when photometric
+    # calibration is available (setting_affineOptModeA/B ~1e8-1e12 in DSO's
+    # scaled units) and only relaxes for uncalibrated footage.
+    ba_prior_a: float = 1e4       # per-frame affine-a anchor weight
+    ba_prior_b: float = 1e2       # per-frame affine-b anchor weight
+    marg_weight: float = 0.5      # weight of freshly marginalized info
+                                  # (reference: setting_margWeightFac)
 
     # initializer
     init_iters: int = 24
@@ -55,6 +66,10 @@ class DirectConfig:
     trace_gn_iters: int = 3
     trace_min_quality: float = 1.5  # best/second-best SSD ratio
 
+    # immature lifecycle (activation gates; reference: activatePoints)
+    activate_min_traces: int = 2        # successful traces before activation
+    activate_max_relwidth: float = 0.25  # idepth interval width / idepth
+
     # state scaling (conditioning of the 8-dof frame state, DSO-style)
     scale_trans: float = 1.0
     scale_rot: float = 1.0
@@ -66,6 +81,9 @@ class DirectConfig:
     kf_flow_threshold: float = 1.0
     kf_brightness_weight: float = 0.5
 
-    # priors (gauge fixing)
-    pose_prior_first: float = 1e10
+    # priors (gauge fixing). The first-frame anchor must NOT dwarf the
+    # photometric information (~1e9-1e10 in intensity^2 px^2 units): f32
+    # Schur complements at the anchor's magnitude lose the photometric
+    # signal beneath roundoff once the anchored frame is marginalized.
+    pose_prior_first: float = 3e4
     ab_prior: float = 1e4

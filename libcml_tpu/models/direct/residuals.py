@@ -36,6 +36,15 @@ PATTERN = jnp.array(
 )
 PATTERN_N = 8
 
+# Single-pixel "pattern" for the coarse tracker (reference:
+# CoarseTracker::calcRes uses ONE pixel per point at every level — the
+# 8-pixel pattern exists only in the BA residuals). At coarse levels the
+# full pattern spans +-8 level-0 pixels warped with ONE shared inverse
+# depth; on slanted surfaces that displaces the photometric minimum by tens
+# of percent of the translation and the coarse-to-fine schedule then drags
+# even a perfect initialization into the biased basin.
+PATTERN_CENTER = jnp.zeros((1, 2), dtype=jnp.float32)
+
 
 @struct.dataclass
 class ResidualEval:
@@ -65,10 +74,12 @@ def huber_energy(r: jax.Array, k: float) -> jax.Array:
     return jnp.where(ar <= k, 0.5 * r * r, k * (ar - 0.5 * k))
 
 
-def pattern_uv(uv: jax.Array, level_scale: float = 1.0) -> jax.Array:
-    """(P, 2) center pixels -> (P, 8, 2) pattern pixels (offsets are in
+def pattern_uv(uv: jax.Array, level_scale: float = 1.0,
+               pattern: jax.Array | None = None) -> jax.Array:
+    """(P, 2) center pixels -> (P, K, 2) pattern pixels (offsets are in
     level-local pixels, so no scaling of the pattern itself)."""
-    return uv[:, None, :] + PATTERN[None, :, :] * level_scale
+    pat = PATTERN if pattern is None else pattern
+    return uv[:, None, :] + pat[None, :, :] * level_scale
 
 
 def proj_jacobian(cam: PinholeCamera, X: jax.Array) -> jax.Array:
@@ -94,16 +105,19 @@ def evaluate_residuals(
     b_ji: jax.Array,         # relative brightness offset
     huber_k: float = 9.0,
     border: float = 2.0,
+    cutoff: float | None = None,
+    pattern: jax.Array | None = None,
 ) -> ResidualEval:
     """One masked sweep of photometric residuals of a point set against one
     target frame. Fully batched; everything out-of-bounds or behind the
-    camera is masked, not branched."""
+    camera is masked, not branched. `pattern` selects the residual support
+    (default: DSO 8-pattern; the tracker passes PATTERN_CENTER)."""
     X_i = cam.unproject(uv, idepth)                       # (P, 3)
     X_j = T_ji.apply(X_i)                                 # (P, 3)
     uv_j_center, valid_z = cam.project(X_j)
 
     # Warp all pattern pixels with the shared inverse depth.
-    p_uv = pattern_uv(uv)                                 # (P, 8, 2)
+    p_uv = pattern_uv(uv, pattern=pattern)                # (P, K, 2)
     Xp_i = cam.unproject(p_uv, idepth[:, None])           # (P, 8, 3)
     Xp_j = SE3(R=T_ji.R, t=T_ji.t).apply(Xp_i)
     uv_jk, valid_zk = cam.project(Xp_j)                   # (P, 8, 2)
@@ -120,8 +134,19 @@ def evaluate_residuals(
 
     w_huber = huber_weight(r, huber_k)
     w = w_huber * weight
+    e_pat = huber_energy(r, huber_k)
+    if cutoff is not None:
+        # DSO's hard cutoff (setting_coarseCutoffTH, DSOTracker.cpp:51-85):
+        # residuals beyond `cutoff` get ZERO weight — under plain Huber a
+        # coherent outlier population (occluded points: foreground color,
+        # background depth) keeps a constant k*J pull per point and biases
+        # the pose; the cutoff removes their gradient entirely while their
+        # energy saturates at the cap (keeps accept/reject monotone).
+        over = jnp.abs(r) > cutoff
+        w = jnp.where(over, 0.0, w)
+        e_pat = jnp.minimum(e_pat, huber_energy(jnp.asarray(cutoff), huber_k))
     w = jnp.where(valid[:, None], w, 0.0)
-    energy = jnp.where(valid, jnp.sum(weight * huber_energy(r, huber_k), axis=-1), 0.0)
+    energy = jnp.where(valid, jnp.sum(weight * e_pat, axis=-1), 0.0)
 
     return ResidualEval(
         r=r,

@@ -111,3 +111,176 @@ def trace_points(
         & (span > 1.5)   # enough parallax to constrain depth at all
     )
     return TraceResult(idepth=idepth, good=good, quality=quality, pixel_span=span)
+
+
+# ---------------------------------------------------------------------------
+# Immature-point lifecycle (the reference's DSOTracer immature machinery)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class ImmatureArena:
+    """Per-window-slot immature candidates: (F, K) layout.
+
+    Candidates are created on a new keyframe, then re-traced against EVERY
+    subsequent frame, each trace narrowing their log-inverse-depth interval
+    [rho_lo, rho_hi]; only candidates whose interval has converged (and that
+    matched consistently) are activated into the BA. This multi-frame
+    accumulation is what breaks the one-frame feedback loop: a depth from a
+    single adjacent-frame trace inherits that frame pair's full tracking
+    error (gain ~1 -> compounding drift), while a depth constrained by
+    5-10 frames of baseline averages it away (reference: DSOTracer.cpp:13
+    traceNewCoarse interval narrowing, ImmaturePointStatus machine
+    DSOTracer.h:38)."""
+
+    uv: jax.Array       # (F, K, 2) pixel in host keyframe
+    color: jax.Array    # (F, K, 8) host pattern intensities
+    rho_lo: jax.Array   # (F, K) interval lower bound (inverse depth)
+    rho_hi: jax.Array   # (F, K) upper bound
+    n_ok: jax.Array     # (F, K) int32 successful traces
+    n_fail: jax.Array   # (F, K) int32 failed traces
+    valid: jax.Array    # (F, K) bool
+
+
+def empty_immatures(F: int, K: int) -> ImmatureArena:
+    return ImmatureArena(
+        uv=jnp.zeros((F, K, 2), jnp.float32),
+        color=jnp.zeros((F, K, 8), jnp.float32),
+        rho_lo=jnp.full((F, K), 1e-4, jnp.float32),
+        rho_hi=jnp.full((F, K), 50.0, jnp.float32),
+        n_ok=jnp.zeros((F, K), jnp.int32),
+        n_fail=jnp.zeros((F, K), jnp.int32),
+        valid=jnp.zeros((F, K), bool),
+    )
+
+
+def seed_immatures(
+    arena: ImmatureArena,
+    slot: jax.Array,
+    grad0: jax.Array,       # (H, W, 3) the new keyframe's gradient image
+    uv: jax.Array,          # (K, 2) selected candidate pixels
+    valid: jax.Array,       # (K,)
+    rho_lo: jax.Array,      # scalar working-range bounds
+    rho_hi: jax.Array,
+) -> ImmatureArena:
+    """Reset `slot`'s row with fresh candidates (makeNewTraces)."""
+    color = bilinear(grad0[..., 0], pattern_uv(uv))          # (K, 8)
+    F = arena.valid.shape[0]
+    onehot = (jnp.arange(F) == slot)
+    set_row = lambda old, new: jnp.where(
+        onehot.reshape((-1,) + (1,) * (old.ndim - 1)), new[None], old
+    )
+    K = uv.shape[0]
+    return ImmatureArena(
+        uv=set_row(arena.uv, uv),
+        color=set_row(arena.color, color),
+        rho_lo=set_row(arena.rho_lo, jnp.broadcast_to(rho_lo, (K,))),
+        rho_hi=set_row(arena.rho_hi, jnp.broadcast_to(rho_hi, (K,))),
+        n_ok=set_row(arena.n_ok, jnp.zeros((K,), jnp.int32)),
+        n_fail=set_row(arena.n_fail, jnp.zeros((K,), jnp.int32)),
+        valid=set_row(arena.valid, valid),
+    )
+
+
+def trace_immatures(
+    arena: ImmatureArena,
+    T_hosts: SE3,           # (F,) batched host keyframe poses (w2c)
+    host_valid: jax.Array,  # (F,) which slots hold live keyframes
+    obs_grad: jax.Array,    # (H, W, 3) NEW frame gradient image
+    T_obs: SE3,             # new frame pose (w2c)
+    cam: PinholeCamera,
+    cfg: DirectConfig,
+) -> ImmatureArena:
+    """One epipolar sweep of every immature candidate against a new frame,
+    narrowing each candidate's inverse-depth interval (traceNewCoarse).
+
+    Per candidate: S hypotheses geometrically spaced inside [rho_lo, rho_hi],
+    pattern SSD against the new image, parabolic refine, then the interval
+    shrinks to best +- 1.2 grid steps. Sub-quality or out-of-bounds traces
+    count as failures; candidates failing repeatedly are dropped."""
+    F, K = arena.valid.shape
+    S = cfg.trace_steps
+
+    # relative poses obs <- host_f : (F,)
+    T_oh = T_obs.compose(T_hosts.inverse())
+
+    lo = jnp.log(jnp.maximum(arena.rho_lo, 1e-6))            # (F, K)
+    hi = jnp.log(jnp.maximum(arena.rho_hi, 2e-6))
+    frac = jnp.linspace(0.0, 1.0, S)                         # (S,)
+    log_grid = lo[..., None] + (hi - lo)[..., None] * frac   # (F, K, S)
+    rho_s = jnp.exp(log_grid)
+
+    p_uv = pattern_uv(arena.uv.reshape(F * K, 2)).reshape(F, K, 8, 2)
+    # (F, K, S, 8, 3)
+    Xh = cam.unproject(p_uv[:, :, None, :, :], rho_s[..., None])
+    Xo = jnp.einsum("fij,fkspj->fkspi", T_oh.R, Xh) + T_oh.t[:, None, None, None, :]
+    uv_o, z_ok = cam.project(Xo)
+    in_b = cam.in_bounds(uv_o, border=2.0)
+    hyp_ok = jnp.all(z_ok & in_b, axis=-1)                   # (F, K, S)
+
+    I_o = bilinear(obs_grad[..., 0], uv_o)                   # (F, K, S, 8)
+    ssd = jnp.sum((I_o - arena.color[:, :, None, :]) ** 2, axis=-1)
+    BIG = jnp.asarray(1e12, ssd.dtype)
+    ssd = jnp.where(hyp_ok, ssd, BIG)
+
+    best = jnp.argmin(ssd, axis=-1)                          # (F, K)
+    best_ssd = jnp.take_along_axis(ssd, best[..., None], -1)[..., 0]
+
+    steps = jnp.arange(S)
+    excl = jnp.abs(steps[None, None, :] - best[..., None]) <= 2
+    second = jnp.min(jnp.where(excl, BIG, ssd), axis=-1)
+    quality = second / jnp.maximum(best_ssd, 1e-6)
+
+    bm = jnp.clip(best, 1, S - 2)
+    f0 = jnp.take_along_axis(ssd, (bm - 1)[..., None], -1)[..., 0]
+    f1 = jnp.take_along_axis(ssd, bm[..., None], -1)[..., 0]
+    f2 = jnp.take_along_axis(ssd, (bm + 1)[..., None], -1)[..., 0]
+    denom = f0 - 2.0 * f1 + f2
+    delta = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (f0 - f2) / denom, 0.0)
+    delta = jnp.clip(delta, -1.0, 1.0)
+    dlog = (hi - lo) / (S - 1)                               # (F, K)
+    log_best = jnp.take_along_axis(log_grid, bm[..., None], -1)[..., 0] + delta * dlog
+
+    # epipolar span of the interval (center pixel): observability this trace
+    span = jnp.linalg.norm(uv_o[:, :, -1, 0, :] - uv_o[:, :, 0, 0, :], axis=-1)
+
+    mean_color = jnp.mean(jnp.abs(arena.color), axis=-1)     # (F, K)
+    ok = (
+        arena.valid
+        & host_valid[:, None]
+        & (best_ssd < BIG)
+        & (best_ssd < (8.0 * 12.0**2))          # absolute match sanity
+        & (quality > cfg.trace_min_quality)
+    )
+    informative = ok & (span > 1.0)
+
+    # narrow to best +- 1.2 steps when informative; on failure keep interval
+    new_lo = jnp.exp(log_best - 1.2 * dlog)
+    new_hi = jnp.exp(log_best + 1.2 * dlog)
+    rho_lo = jnp.where(informative, jnp.maximum(new_lo, 1e-5), arena.rho_lo)
+    rho_hi = jnp.where(informative, new_hi, arena.rho_hi)
+
+    n_ok = arena.n_ok + informative.astype(jnp.int32)
+    n_fail = jnp.where(ok, arena.n_fail, arena.n_fail + arena.valid)
+    valid = arena.valid & (n_fail < 4)
+
+    del mean_color
+    return arena.replace(
+        rho_lo=rho_lo, rho_hi=rho_hi, n_ok=n_ok, n_fail=n_fail, valid=valid
+    )
+
+
+def mature_mask(arena: ImmatureArena, cfg: DirectConfig):
+    """(F, K) bool: candidates ready for activation + their idepth estimate.
+
+    Mature = traced successfully >= activate_min_traces times and the
+    interval has converged to a relative width below activate_max_relwidth
+    (reference: activatePoints' canActivate conditions)."""
+    mid = jnp.sqrt(arena.rho_lo * arena.rho_hi)              # geometric mean
+    relwidth = (arena.rho_hi - arena.rho_lo) / jnp.maximum(mid, 1e-6)
+    ready = (
+        arena.valid
+        & (arena.n_ok >= cfg.activate_min_traces)
+        & (relwidth < cfg.activate_max_relwidth)
+    )
+    return ready, mid

@@ -24,6 +24,7 @@ from libcml_tpu.core.camera import PinholeCamera
 from libcml_tpu.core.lie import SE3, se3_exp
 from libcml_tpu.models.direct.config import DirectConfig
 from libcml_tpu.models.direct.residuals import (
+    PATTERN_CENTER,
     evaluate_residuals,
     gauss_newton_system,
     rel_pose_jacobian,
@@ -79,8 +80,10 @@ def make_tracker_ref(
     for l, G in enumerate(kf_grad_pyr):
         cam_l = cam0.level(l)
         uv_l = _level_uv(uv0, l)
-        p_uv = pattern_uv(uv_l)
-        sample = bilinear(G, p_uv)  # (P, 8, 3)
+        # single-pixel support (reference: CoarseTracker::calcRes samples ONE
+        # pixel per point at every level; the 8-pattern lives in the BA only)
+        p_uv = pattern_uv(uv_l, pattern=PATTERN_CENTER)
+        sample = bilinear(G, p_uv)  # (P, 1, 3)
         color = sample[..., 0]
         gsq = sample[..., 1] ** 2 + sample[..., 2] ** 2
         w = jnp.sqrt(cfg.gradient_weight_c2 / (cfg.gradient_weight_c2 + gsq))
@@ -131,7 +134,8 @@ def _track_level(
     def total_energy(T, ab):
         ev = evaluate_residuals(
             grad_j, cam_l, uv, idepth, color, weight, T, ab[0], ab[1],
-            huber_k=cfg.huber_intensity,
+            huber_k=cfg.huber_intensity, cutoff=cfg.tracker_cutoff,
+            pattern=PATTERN_CENTER,
         )
         ok = ev.valid & valid
         n = jnp.maximum(jnp.sum(ok), 1)
@@ -143,7 +147,8 @@ def _track_level(
         T, ab, E, lam = carry
         ev = evaluate_residuals(
             grad_j, cam_l, uv, idepth, color, weight, T, ab[0], ab[1],
-            huber_k=cfg.huber_intensity,
+            huber_k=cfg.huber_intensity, cutoff=cfg.tracker_cutoff,
+            pattern=PATTERN_CENTER,
         )
         J = rel_pose_jacobian(ev, color)
         H, b, _ = gauss_newton_system(J, ev.r, ev.w)
@@ -167,6 +172,75 @@ def _track_level(
         length=cfg.tracker_iters,
     )
     return T, ab, E
+
+
+def motion_hypotheses(T_pred: SE3, T_zero: SE3, n_rot: int = 8,
+                      rot_eps: float = 0.02) -> SE3:
+    """Batched tracker initializations (reference: trackWithMotionModel's
+    27-candidate battery, DSOTracker.h:238): the constant-velocity
+    prediction, damped/amplified translation variants (0.5x/0.7x/1.3x/2x —
+    these straddle the photometric false minima that appear at fractions of
+    the true translation), the zero-motion pose, and small rotation
+    perturbations of the prediction. Returns a batched SE3 with leading dim
+    N = 6 + n_rot."""
+    def scale_t(T, s):
+        return SE3(R=T.R, t=T.t * s)
+
+    cands = [
+        T_pred,
+        scale_t(T_pred, 0.5),
+        scale_t(T_pred, 0.7),
+        scale_t(T_pred, 1.3),
+        scale_t(T_pred, 2.0),
+        T_zero,
+    ]
+    axes = jnp.eye(3, dtype=jnp.float32)
+    for k in range(n_rot):
+        ax = axes[k % 3] * (1.0 if k < 3 else -1.0) * rot_eps * (1 + k // 6)
+        dT = se3_exp(jnp.concatenate([jnp.zeros(3, jnp.float32), ax]))
+        cands.append(dT.compose(T_pred))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cands)
+
+
+def track_multi(
+    new_grad_pyr: tuple[jax.Array, ...],
+    cam0: PinholeCamera,
+    ref: TrackerRef,
+    T_inits: SE3,            # batched (N,) hypotheses
+    ab_init: jax.Array,
+    cfg: DirectConfig,
+) -> TrackResult:
+    """Multi-hypothesis tracking, the TPU-native form of the reference's
+    sequential 27-try recovery loop (trackWithMotionModel): run the LM
+    refinement for EVERY hypothesis in parallel at the TWO coarsest pyramid
+    levels only (one small vmapped program), pick the winner by achieved
+    energy, then finish the standard coarse-to-fine track from it.
+
+    Why hypotheses at all: photometric tracking has false local minima at
+    translation fractions (periodic texture, patch aliasing); a single-init
+    tracker that lands in one feeds a poisoned prediction to the next frame
+    and the error compounds. Why coarse-only: the basin choice happens at
+    the coarse levels (they run first), so that is where candidates must
+    compete — and vmapping only the coarse stage keeps the compiled program
+    ~N_levels times smaller than batching the full pyramid schedule."""
+    L = len(new_grad_pyr)
+    levels = [min(L - 1, 1), 0] if L == 1 else [L - 1, L - 2]
+
+    def coarse_refine(T0):
+        T, ab = T0, ab_init
+        E = jnp.asarray(0.0, jnp.float32)
+        for l in levels:
+            cam_l = cam0.level(l)
+            T, ab, E = _track_level(
+                new_grad_pyr[l], cam_l, ref.uv[l], ref.idepth, ref.color[l],
+                ref.weight[l], ref.valid[l], T, ab, cfg,
+            )
+        return T, ab, E
+
+    Ts, abs_, Es = jax.vmap(coarse_refine)(T_inits)
+    best = jnp.argmin(Es)
+    T_best = jax.tree.map(lambda x: x[best], Ts)
+    return track(new_grad_pyr, cam0, ref, T_best, abs_[best], cfg)
 
 
 def track(
@@ -195,7 +269,8 @@ def track(
     w0 = jnp.where(ref.valid[0][:, None], ref.weight[0], 0.0)
     ev = evaluate_residuals(
         new_grad_pyr[0], cam_l0, ref.uv[0], ref.idepth, ref.color[0], w0,
-        T, ab[0], ab[1], huber_k=cfg.huber_intensity,
+        T, ab[0], ab[1], huber_k=cfg.huber_intensity, cutoff=cfg.tracker_cutoff,
+            pattern=PATTERN_CENTER,
     )
     ok = ev.valid & ref.valid[0]
     n = jnp.maximum(jnp.sum(ok), 1)
@@ -212,7 +287,8 @@ def track(
     T_rot = SE3(R=T.R, t=jnp.zeros_like(T.t))
     ev_rot = evaluate_residuals(
         new_grad_pyr[0], cam_l0, ref.uv[0], ref.idepth, ref.color[0], w0,
-        T_rot, ab[0], ab[1], huber_k=cfg.huber_intensity,
+        T_rot, ab[0], ab[1], huber_k=cfg.huber_intensity, cutoff=cfg.tracker_cutoff,
+            pattern=PATTERN_CENTER,
     )
     flow_rot_sq = jnp.sum((ev_rot.uv_j - ref.uv[0]) ** 2, axis=-1)
     flow_no_trans = jnp.sqrt(jnp.sum(jnp.where(ok, flow_rot_sq, 0.0)) / n)

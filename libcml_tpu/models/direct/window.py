@@ -135,21 +135,40 @@ def add_points(
 
 def choose_marginalization_slot(window: Window, latest_slot: jax.Array) -> jax.Array:
     """Pick the keyframe to marginalize when the window is over budget
-    (reference: flagFramesForMarginalization — keep the newest, drop frames
-    with few surviving points or maximal 'distance score').
+    (reference: flagFramesForMarginalization, FullSystem semantics — always
+    keep the two newest keyframes; drop nearly-dead frames first; otherwise
+    drop the SPATIALLY REDUNDANT frame, keeping the window spread out).
 
-    Heuristic here: among valid frames (excluding the latest), drop the one
-    hosting the fewest surviving points; ties break toward the oldest
-    (lowest frame_id)."""
+    Protecting the two newest is load-bearing: a fresh keyframe hosts no
+    active points yet (its immature candidates need >= 2 traces to mature),
+    so any points-count heuristic greedily kills every new slot and the
+    window degenerates into stale old frames — the tracking reference then
+    dies as the camera moves on. Redundancy = the smallest
+    nearest-neighbour distance between keyframe positions: dropping it
+    costs the least baseline diversity, and naturally keeps one far-back
+    anchor frame (scale memory)."""
     ba = window.ba
     F = ba.num_frames
+    fv = ba.frame_valid
+    fid = jnp.where(fv, window.frame_id, -1)
+
+    newest = jnp.argmax(fid)
+    fid2 = jnp.where(jnp.arange(F) == newest, -1, fid)
+    second = jnp.argmax(fid2)
+    eligible = fv & (jnp.arange(F) != newest) & (jnp.arange(F) != second)
+
     hosted = jax.nn.one_hot(ba.host, F, dtype=jnp.float32) * ba.point_valid[:, None]
     counts = jnp.sum(hosted, axis=0)                   # (F,)
-    # order-of-magnitude tiebreak toward old frames
-    age_rank = jnp.argsort(jnp.argsort(window.frame_id)).astype(jnp.float32)
-    score = counts + 1e-3 * age_rank
-    score = jnp.where(ba.frame_valid, score, jnp.inf)
-    score = jnp.where(jnp.arange(F) == latest_slot, jnp.inf, score)
+    dead = eligible & (counts < 8.0)
+
+    t = ba.T.t                                         # (F, 3)
+    d = jnp.linalg.norm(t[:, None, :] - t[None, :, :], axis=-1)
+    off = fv[None, :] & (jnp.arange(F)[:, None] != jnp.arange(F)[None, :])
+    nn = jnp.min(jnp.where(off, d, jnp.inf), axis=1)   # (F,)
+
+    # dead frames first (oldest dead first), else most redundant (min nn)
+    score = jnp.where(dead, -1e6 - fid.astype(jnp.float32), nn)
+    score = jnp.where(eligible, score, jnp.inf)
     return jnp.argmin(score)
 
 

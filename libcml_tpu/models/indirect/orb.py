@@ -119,8 +119,15 @@ def _extract_level(
     score = fast_score_map(img, threshold)
     nms = jnp.where((score >= _maxpool3(score)) & (score > 0), score, 0.0)
     uv, sc = _grid_topk(nms, cell, per_cell)
-    top, idx = jax.lax.top_k(sc, budget)
+    # small pyramid levels can yield fewer candidates than the budget: take
+    # what exists, pad the rest as invalid slots
+    k = min(budget, sc.shape[0])
+    top, idx = jax.lax.top_k(sc, k)
     uv = uv[idx]
+    if k < budget:
+        pad = budget - k
+        uv = jnp.concatenate([uv, jnp.zeros((pad, 2), uv.dtype)])
+        top = jnp.concatenate([top, jnp.zeros((pad,), top.dtype)])
     ok = top > 0.0
     ang = ic_angle(img, uv)
     desc = brief_descriptor(img, uv, ang)

@@ -139,25 +139,25 @@ def triangulate_linear(
     x1 = cam.normalized(uv1)
     R, t = T_10.R, T_10.t
 
-    # rows of A X = b built from x (x0 in I|0 frame, x1 in R|t frame)
+    # Each view contributes two rows of A X = b: with projection
+    # X_v = P_R X + P_t and normalized obs (x, y),
+    #   (x * P_R[2] - P_R[0]) . X = P_t[0] - x * P_t[2]   (same for y / row 1)
     def rows(x, P_R, P_t):
-        r1 = x[..., 0:1] * P_R[2:3, :] - P_R[0:1, :]
-        r2 = x[..., 1:2] * P_R[2:3, :] - P_R[1:2, :]
-        b1 = P_t[0] - x[..., 0] * P_t[2]
+        # x: (N, 2); P_R: (3, 3); P_t: (3,) -> A (N, 2, 3), b (N, 2)
+        r1 = x[..., 0:1] * P_R[None, 2, :] - P_R[None, 0, :]   # (N, 3)
+        r2 = x[..., 1:2] * P_R[None, 2, :] - P_R[None, 1, :]
+        b1 = P_t[0] - x[..., 0] * P_t[2]                       # (N,)
         b2 = P_t[1] - x[..., 1] * P_t[2]
         return jnp.stack([r1, r2], -2), jnp.stack([b1, b2], -1)
 
-    I3 = jnp.eye(3)
-    z3 = jnp.zeros(3)
-    A0, b0 = rows(x0, jnp.broadcast_to(I3, x0.shape[:-1] + (3, 3)), z3)
-    A1r = jnp.broadcast_to(R, x1.shape[:-1] + (3, 3))
-    A1, b1 = rows(x1, A1r, t)
+    A0, b0 = rows(x0, jnp.eye(3, dtype=x0.dtype), jnp.zeros(3, x0.dtype))
+    A1, b1 = rows(x1, R, t)
     A = jnp.concatenate([A0, A1], axis=-2)             # (N, 4, 3)
-    b = jnp.concatenate([b0, jnp.broadcast_to(b1, b0.shape)], axis=-1)  # (N, 4)
+    b = jnp.concatenate([b0, b1], axis=-1)             # (N, 4)
 
     AtA = jnp.einsum("nij,nik->njk", A, A) + 1e-9 * jnp.eye(3)
     Atb = jnp.einsum("nij,ni->nj", A, b)
-    X0 = jnp.linalg.solve(AtA, Atb)
+    X0 = jnp.linalg.solve(AtA, Atb[..., None])[..., 0]
     X1 = jnp.einsum("ij,nj->ni", R, X0) + t
     valid = (X0[..., 2] > 1e-4) & (X1[..., 2] > 1e-4)
     return X0, valid

@@ -38,8 +38,21 @@ from libcml_tpu.models.direct.initializer import (
     try_initialize,
 )
 from libcml_tpu.models.direct.selector import select_points
-from libcml_tpu.models.direct.tracer import trace_points
-from libcml_tpu.models.direct.tracker import TrackResult, make_tracker_ref, track
+from libcml_tpu.models.direct.tracer import (
+    ImmatureArena,
+    empty_immatures,
+    mature_mask,
+    seed_immatures,
+    trace_immatures,
+    trace_points,
+)
+from libcml_tpu.models.direct.tracker import (
+    TrackResult,
+    make_tracker_ref,
+    motion_hypotheses,
+    track,
+    track_multi,
+)
 from libcml_tpu.ops.image import bilinear, build_gradient_pyramid
 
 
@@ -56,6 +69,15 @@ def _preprocess(image: jax.Array, num_levels: int):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _track(grad_pyr, cam, ref, T_init, ab_init, cfg: DirectConfig) -> TrackResult:
     return track(grad_pyr, cam, ref, T_init, ab_init, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _track_multi(grad_pyr, cam, ref, T_pred, T_zero, ab_init,
+                 cfg: DirectConfig) -> TrackResult:
+    """Multi-hypothesis tracking (reference: trackWithMotionModel's
+    candidate battery) as ONE vmapped device program."""
+    T_inits = motion_hypotheses(T_pred, T_zero)
+    return track_multi(grad_pyr, cam, ref, T_inits, ab_init, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -85,6 +107,24 @@ def _window_points_in_frame(window: win_mod.Window, slot, cam, cfg: DirectConfig
         & (X_l[..., 2] > 1e-4)
     )
     rho_l = 1.0 / jnp.maximum(X_l[..., 2], 1e-4)
+
+    # Occlusion z-buffer: among points landing in the same 4x4-pixel cell,
+    # keep only those within 25% depth of the nearest — a far-surface point
+    # projected onto a pixel where a nearer surface is visible pairs the
+    # FOREGROUND's intensity with the BACKGROUND's depth, and a coherent
+    # population of those biases tracking (the reference's makeCoarseDepthL0
+    # fuses projected depths per pixel, which has the same effect;
+    # DSOTracker.cpp:494).
+    cell = 4
+    Wc = (cam.width + cell - 1) // cell
+    cx = jnp.clip(uv_l[:, 0].astype(jnp.int32) // cell, 0, Wc - 1)
+    cy = jnp.clip(uv_l[:, 1].astype(jnp.int32) // cell, 0,
+                  (cam.height + cell - 1) // cell - 1)
+    cid = cy * Wc + cx
+    n_cells = Wc * ((cam.height + cell - 1) // cell)
+    rho_for_max = jnp.where(ok, rho_l, 0.0)
+    cell_max_rho = jnp.zeros((n_cells,), rho_l.dtype).at[cid].max(rho_for_max)
+    ok = ok & (rho_l > 0.8 * cell_max_rho[cid])
     return uv_l, rho_l, ok
 
 
@@ -94,18 +134,38 @@ def _make_ref(kf_grad_pyr, cam, uv, idepth, valid, cfg: DirectConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _select_and_trace(
-    new_grad0, prev_grad0, T_oh, ab_oh, cam, cfg: DirectConfig
+def _seed_new_immatures(
+    arena: ImmatureArena, slot, new_grad0, rho_lo, rho_hi, cfg: DirectConfig
 ):
-    """Candidate selection on the new keyframe + epipolar idepth bootstrap
-    against the previous keyframe (replaces makeNewTraces + traceNewCoarse
-    in one fused program)."""
-    uv, valid, score = select_points(new_grad0, cfg.points_per_kf)
-    from libcml_tpu.models.direct.residuals import pattern_uv
+    """Candidate selection on the new keyframe + immature seeding with the
+    map's working inverse-depth range (makeNewTraces)."""
+    uv, valid, _ = select_points(new_grad0, cfg.points_per_kf)
+    return seed_immatures(arena, slot, new_grad0, uv, valid, rho_lo, rho_hi)
 
-    host_color = bilinear(new_grad0[..., 0], pattern_uv(uv))
-    tr = trace_points(host_color, uv, valid, prev_grad0, T_oh, ab_oh, cam, cfg)
-    return uv, tr
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _trace_immatures(
+    arena: ImmatureArena, T_hosts, host_valid, new_grad0, T_obs,
+    cam, cfg: DirectConfig
+):
+    return trace_immatures(arena, T_hosts, host_valid, new_grad0, T_obs, cam, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _activate_points(
+    window: win_mod.Window, slot, uv, idepth, ok, cfg: DirectConfig
+):
+    return win_mod.add_points(window, slot, uv, idepth, ok, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _working_rho_range(ba, cfg: DirectConfig):
+    rho_valid = jnp.where(ba.point_valid, ba.idepth, jnp.nan)
+    rho_med = jnp.nanmedian(rho_valid)
+    rho_med = jnp.where(jnp.isfinite(rho_med), rho_med, 1.0)
+    rho_lo = jnp.maximum(rho_med / 8.0, cfg.idepth_min)
+    rho_hi = jnp.minimum(rho_med * 8.0, cfg.idepth_max)
+    return rho_lo, rho_hi
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -115,25 +175,28 @@ def _kf_insert_and_ba(
     T_new: SE3,
     ab_new,
     frame_id,
-    uv_new,
-    idepth_new,
-    point_ok,
     cam,
     cfg: DirectConfig,
 ):
-    """Insert keyframe + activate its points + run windowed photometric BA +
-    outlier ejection — one compiled program per keyframe event."""
+    """Insert keyframe + run windowed photometric BA + outlier ejection —
+    one compiled program per keyframe event. (Point activation happens
+    separately from the immature arena, before this call.)"""
     window, slot = win_mod.add_keyframe(window, grad0, T_new, ab_new, frame_id)
-    window = win_mod.add_points(window, slot, uv_new, idepth_new, point_ok, cfg)
+    # fresh Jacobians once per keyframe event (prior shifted exactly)
+    window = window.replace(ba=ba_mod.relinearize(window.ba))
     new_ba, energy = ba_mod.run_ba(window.ba, window.images, cam, cfg)
     new_ba = ba_mod.update_residual_status(new_ba, window.images, cam, cfg)
     return window.replace(ba=new_ba), slot, energy
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def _marginalize(window: win_mod.Window, latest_slot, cam, cfg: DirectConfig):
-    slot = win_mod.choose_marginalization_slot(window, latest_slot)
-    new_ba = ba_mod.marginalize_frame(window.ba, window.images, cam, cfg, slot)
+    """Host-driven: slot choice on device, prior algebra in f64 on host
+    (ba.marginalize_frame_f64 — the f32 Schur noise at ~1e10 magnitude
+    otherwise drifts the monocular scale ~10% per marginalization)."""
+    slot = int(win_mod.choose_marginalization_slot(window, latest_slot))
+    new_ba = ba_mod.marginalize_frame_f64(
+        window.ba, window.images, cam, cfg, slot
+    )
     return (
         window.replace(
             ba=new_ba,
@@ -167,6 +230,9 @@ class DirectOdometry:
         self._init_state = None
         self._window: win_mod.Window | None = None
         self._tracker_ref = None
+        self._immature = empty_immatures(
+            self.cfg.max_frames, self.cfg.points_per_kf
+        )
 
         # latest-keyframe host-side data
         self._kf_pyr = None          # gradient pyramid of the latest KF
@@ -272,6 +338,13 @@ class DirectOdometry:
         self._sync_kf_poses()
         self._rebuild_tracker_ref()
 
+        # seed immature candidates on the new keyframe
+        rho_lo, rho_hi = _working_rho_range(self._window.ba, cfg)
+        self._immature = _seed_new_immatures(
+            self._immature, jnp.asarray(self._kf_slot), pyr[0],
+            rho_lo, rho_hi, cfg,
+        )
+
         self._T_prev = self._kf_T
         self._T_curr = self._kf_T
         self._record(timestamp, self._kf_id, SE3.identity())
@@ -291,9 +364,10 @@ class DirectOdometry:
         T_delta = self._T_curr.compose(self._T_prev.inverse())
         T_pred = T_delta.compose(self._T_curr)
         T_init = T_pred.compose(self._kf_T.inverse())
+        T_zero = self._T_curr.compose(self._kf_T.inverse())
 
-        res = _track(pyr, cam, self._tracker_ref, T_init,
-                     jnp.zeros(2, jnp.float32), cfg)
+        res = _track_multi(pyr, cam, self._tracker_ref, T_init, T_zero,
+                           jnp.zeros(2, jnp.float32), cfg)
 
         num_valid = int(res.num_valid)
         pose_ok = num_valid >= 24 and bool(
@@ -312,6 +386,14 @@ class DirectOdometry:
         self._T_curr = T_world
         self._record(timestamp, self._kf_id,
                      T_world.compose(self._kf_T.inverse()))
+
+        # trace all immature candidates against this frame (traceNewCoarse —
+        # every frame narrows the intervals, keyframe or not)
+        if pose_ok:
+            self._immature = _trace_immatures(
+                self._immature, self._window.ba.T, self._window.ba.frame_valid,
+                pyr[0], T_world, cam, cfg,
+            )
 
         flow = float(res.flow)
         energy = float(res.energy)
@@ -337,27 +419,39 @@ class DirectOdometry:
         cfg, cam = self.cfg, self.cam
         window = self._window
 
-        # keep the window under budget (marginalize BEFORE insert, reference:
-        # flagFramesForMarginalization runs so the insert always has a slot)
-        while int(win_mod.num_valid_frames(window)) >= cfg.max_frames:
-            window, _ = _marginalize(
-                window, jnp.asarray(self._kf_slot), cam, cfg
-            )
-
-        # bootstrap new points: select on the new KF, trace against the
-        # PREVIOUS keyframe image (known relative pose from tracking)
-        T_new = self._T_curr
-        T_oh = self._kf_T.compose(T_new.inverse())   # prevKF <- newKF
-        ab_rel = -res.ab                              # invert tracked affine
-        uv_new, tr = _select_and_trace(
-            pyr[0], self._kf_pyr[0], T_oh, ab_rel, cam, cfg
+        # activate mature immature candidates into the BA FIRST
+        # (activatePoints): their depths are constrained by every frame
+        # traced since creation, not by a single adjacent-frame pair; doing
+        # this before marginalization lets a to-be-dropped host's mature
+        # candidates survive as map points
+        ready, rho_mid = mature_mask(self._immature, cfg)
+        ready_np = np.asarray(jnp.any(ready, axis=1))
+        for f in range(cfg.max_frames):
+            if ready_np[f]:
+                window = _activate_points(
+                    window, jnp.asarray(f), self._immature.uv[f],
+                    rho_mid[f], ready[f], cfg,
+                )
+        self._immature = self._immature.replace(
+            valid=self._immature.valid & ~ready
         )
 
+        # keep the window under budget (marginalize BEFORE insert, reference:
+        # flagFramesForMarginalization runs so the insert always has a slot);
+        # immature candidates hosted in a marginalized slot die with it
+        while int(win_mod.num_valid_frames(window)) >= cfg.max_frames:
+            window, mslot = _marginalize(
+                window, jnp.asarray(self._kf_slot), cam, cfg
+            )
+            self._immature = self._immature.replace(
+                valid=self._immature.valid.at[int(mslot)].set(False)
+            )
+
+        T_new = self._T_curr
         ab_new = self._kf_ab + res.ab
         window, slot, energy = _kf_insert_and_ba(
             window, pyr[0], T_new, ab_new,
-            jnp.asarray(self.frame_idx, jnp.int32),
-            uv_new, tr.idepth, tr.good, cam, cfg,
+            jnp.asarray(self.frame_idx, jnp.int32), cam, cfg,
         )
 
         self._window = window
@@ -371,6 +465,13 @@ class DirectOdometry:
         # tracking continuity: current pose snaps to the optimized KF pose
         self._T_curr = self._kf_T
         self._rebuild_tracker_ref()
+
+        # seed fresh immature candidates on the new keyframe (makeNewTraces)
+        rho_lo, rho_hi = _working_rho_range(window.ba, cfg)
+        self._immature = _seed_new_immatures(
+            self._immature, jnp.asarray(self._kf_slot), pyr[0],
+            rho_lo, rho_hi, cfg,
+        )
         # rewrite this frame's record to be keyframe-anchored at identity
         self._records[-1] = (
             timestamp, self._kf_id,

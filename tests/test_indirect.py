@@ -21,19 +21,32 @@ from libcml_tpu.models.indirect.pnp import solve_pnp, triangulate_linear
 from libcml_tpu.ops.image import build_pyramid
 
 
-def checkerboard(H=96, W=128, sq=16):
-    yy, xx = np.mgrid[0:H, 0:W]
-    return (((yy // sq + xx // sq) % 2) * 200.0 + 20.0).astype(np.float32)
+def polka(H=96, W=128, sq=10, pitch=24):
+    """Isolated bright squares on dark ground. Square corners are L-junctions
+    (~270 deg dark arc around a bright corner pixel), which FAST-9's
+    9-contiguous-lanes test detects; checkerboard X-junctions split the
+    Bresenham circle into four ~4-lane arcs and are INVISIBLE to FAST-9 by
+    design (reference FAST.h:17 is FAST-9..12 too)."""
+    img = np.full((H, W), 20.0, np.float32)
+    for y0 in range(8, H - sq - 8, pitch):
+        for x0 in range(8, W - sq - 8, pitch):
+            img[y0 : y0 + sq, x0 : x0 + sq] = 220.0
+    return img
 
 
-def test_fast_finds_checker_corners():
-    img = jnp.asarray(checkerboard())
-    uv, score, valid = fast_detect(img, threshold=20.0, max_corners=128)
+def test_fast_finds_square_corners():
+    img = jnp.asarray(polka())
+    uv, score, valid = fast_detect(img, threshold=20.0, max_corners=256)
     uv = np.asarray(uv)[np.asarray(valid)]
     assert len(uv) >= 20
-    # all detections must lie near a checker crossing (multiples of 16)
-    d = np.minimum(uv % 16, 16 - (uv % 16))
-    assert np.all(d.max(axis=1) <= 3.0)
+    # every detection must lie within 2px of a square corner
+    corners = []
+    for y0 in range(8, 96 - 10 - 8, 24):
+        for x0 in range(8, 128 - 10 - 8, 24):
+            corners += [(x0, y0), (x0 + 9, y0), (x0, y0 + 9), (x0 + 9, y0 + 9)]
+    corners = np.array(corners, np.float32)
+    d = np.linalg.norm(uv[:, None, :] - corners[None, :, :], axis=-1).min(axis=1)
+    assert np.all(d <= 2.5), f"stray detections, max dist {d.max():.1f}"
 
 
 def test_popcount():
