@@ -1,0 +1,217 @@
+"""Bag-of-binary-words vocabulary, BoW vectors and relocalization retrieval.
+
+TPU-native replacement for the reference's vendored DBoW2 + Relocalization
+(reference: src/cml/features/bow/TemplatedVocabulary.h — hierarchical
+k-means++ vocabulary with txt/bin/zip load; TemplatedDatabase.h inverted +
+direct index; BowVector/FeatureVector; ScoringObject.cpp L1/L2/chi2 scoring;
+Relocalization.{h,cpp}:10 — keyframe inverted file, candidate retrieval by
+shared-word count + covisibility-accumulated similarity, the ORB-SLAM
+DetectRelocalizationCandidates port).
+
+TPU-first design: DBoW2's hierarchical tree exists to make word lookup
+O(k*L) per descriptor on CPU; on TPU the whole lookup is ONE masked Hamming
+argmin of (N descriptors) x (W leaf words) — the tree is kept only as the
+TRAINING procedure (hierarchical k-medians over binary strings, the correct
+centroid for Hamming space is the bitwise majority). Vocabulary training
+runs host-side in numpy (one-off, offline); word assignment and BoW scoring
+are jitted device programs. The inverted file for relocalization stays a
+host-side structure (tiny, grows with keyframes, latency-irrelevant).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libcml_tpu.models.indirect.orb import hamming_matrix, popcount32
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary
+# ---------------------------------------------------------------------------
+
+
+def _unpack_bits(words: np.ndarray) -> np.ndarray:
+    """(N, 8) uint32 -> (N, 256) uint8 bits."""
+    b = words.astype(">u4").view(np.uint8).reshape(len(words), -1)
+    return np.unpackbits(b, axis=1)
+
+
+def _pack_bits(bits: np.ndarray) -> np.ndarray:
+    """(N, 256) bits -> (N, 8) uint32 words."""
+    by = np.packbits(bits.astype(np.uint8), axis=1)
+    return by.view(">u4").astype(np.uint32)
+
+
+def _majority(bits: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Weighted bitwise-majority centroid — the Hamming-space mean."""
+    s = (bits * w[:, None]).sum(axis=0)
+    return (s * 2 > w.sum()).astype(np.uint8)
+
+
+def train_vocabulary(
+    descriptors: np.ndarray,
+    k: int = 10,
+    depth: int = 3,
+    iters: int = 8,
+    seed: int = 0,
+) -> "BinaryVocabulary":
+    """Hierarchical k-medians over binary descriptors (host-side, offline —
+    mirrors DBoW2 training, TemplatedVocabulary.h). descriptors: (N, 8)
+    uint32. Returns a vocabulary with up to k**depth leaf words."""
+    rng = np.random.default_rng(seed)
+    bits = _unpack_bits(np.asarray(descriptors, np.uint32))
+
+    def cluster(idx: np.ndarray, level: int) -> list[np.ndarray]:
+        sub = bits[idx]
+        if level == depth or len(idx) <= k:
+            return [_majority(sub, np.ones(len(idx)))] if len(idx) else []
+        # k-medians with k-means++-style seeding on Hamming distance
+        centers = sub[rng.choice(len(sub), size=min(k, len(sub)),
+                                 replace=False)].copy()
+        for _ in range(iters):
+            d = (sub[:, None, :] != centers[None, :, :]).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(centers)):
+                m = assign == c
+                if m.any():
+                    centers[c] = _majority(sub[m], np.ones(m.sum()))
+        leaves: list[np.ndarray] = []
+        for c in range(len(centers)):
+            m = assign == c
+            if m.any():
+                leaves.extend(cluster(idx[m], level + 1))
+        return leaves
+
+    leaf_bits = np.stack(cluster(np.arange(len(bits)), 0))
+    words = _pack_bits(leaf_bits)
+    # idf weights from the training corpus (DBoW2 TF_IDF default)
+    d = (bits[:, None, :] != leaf_bits[None, :, :]).sum(axis=2) \
+        if len(bits) * len(leaf_bits) < 4e7 else None
+    if d is not None:
+        wa = d.argmin(axis=1)
+        df = np.bincount(wa, minlength=len(words)).astype(np.float64)
+        idf = np.log(len(bits) / np.maximum(df, 1.0))
+    else:
+        idf = np.ones(len(words))
+    return BinaryVocabulary(words, idf.astype(np.float32))
+
+
+class BinaryVocabulary:
+    """Flat leaf-word vocabulary with idf weights. Device-side assignment."""
+
+    def __init__(self, words: np.ndarray, idf: np.ndarray):
+        self.words = jnp.asarray(words, jnp.uint32)     # (W, 8)
+        self.idf = jnp.asarray(idf, jnp.float32)        # (W,)
+        self.num_words = int(words.shape[0])
+
+    def save(self, path: str):
+        np.savez(path, words=np.asarray(self.words), idf=np.asarray(self.idf))
+
+    @classmethod
+    def load(cls, path: str) -> "BinaryVocabulary":
+        z = np.load(path)
+        return cls(z["words"], z["idf"])
+
+    def assign(self, desc: jax.Array, valid: jax.Array) -> jax.Array:
+        """(N, 8) descriptors -> (N,) word ids (-1 for invalid)."""
+        D = hamming_matrix(desc, self.words)
+        wid = jnp.argmin(D, axis=1).astype(jnp.int32)
+        return jnp.where(valid, wid, -1)
+
+    def bow_vector(self, desc: jax.Array, valid: jax.Array) -> jax.Array:
+        """L1-normalized tf-idf BoW vector (W,) — dense on device (W is a
+        few thousand; a dense vector beats sparse bookkeeping on TPU)."""
+        wid = self.assign(desc, valid)
+        tf = jnp.zeros((self.num_words,), jnp.float32).at[
+            jnp.where(wid >= 0, wid, 0)
+        ].add(valid.astype(jnp.float32))
+        v = tf * self.idf
+        return v / jnp.maximum(jnp.sum(jnp.abs(v)), 1e-9)
+
+
+@jax.jit
+def score_l1(v1: jax.Array, v2: jax.Array) -> jax.Array:
+    """DBoW2 L1 score in [0, 1] (ScoringObject.cpp L1Scoring):
+    s = 1 - 0.5 * |v1/|v1| - v2/|v2||_1, both inputs already L1-normalized."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2))
+
+
+def default_vocabulary(cache: str | None = None) -> BinaryVocabulary:
+    """Self-trained stand-in for the reference's shipped ORBvoc (the
+    reference downloads/loads resources/ORBvoc.zip, Hybrid.cpp:47-51; we
+    train a compact vocabulary from synthetic texture ORB descriptors once
+    and cache it)."""
+    cache = cache or os.path.expanduser("~/.cache/libcml_tpu_voc.npz")
+    if os.path.isfile(cache):
+        return BinaryVocabulary.load(cache)
+    from libcml_tpu.core.camera import PinholeCamera
+    from libcml_tpu.data.synthetic import SyntheticScene, forward_trajectory
+    from libcml_tpu.models.indirect.orb import extract_orb
+    from libcml_tpu.ops.image import build_pyramid
+
+    cam = PinholeCamera.make(160.0, 160.0, 79.5, 59.5, 160, 120)
+    scene = SyntheticScene.default(cam, seed=7)
+    descs = []
+    for R, t in forward_trajectory(6, step=0.3):
+        img, _ = scene.render(R, t, supersample=1)
+        pyr = build_pyramid(jnp.asarray(img, jnp.float32), 3)
+        f = extract_orb(pyr, budget_per_level=256)
+        d = np.asarray(f.desc)[np.asarray(f.valid)]
+        descs.append(d)
+    voc = train_vocabulary(np.concatenate(descs), k=8, depth=3)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    voc.save(cache)
+    return voc
+
+
+# ---------------------------------------------------------------------------
+# Relocalization database
+# ---------------------------------------------------------------------------
+
+
+class KeyframeDatabase:
+    """Inverted-file keyframe retrieval (reference: Relocalization.{h,cpp} /
+    DBoW2 TemplatedDatabase.h). Host-side: word -> set of keyframe ids,
+    plus the stored BoW vectors for similarity re-ranking."""
+
+    def __init__(self, voc: BinaryVocabulary):
+        self.voc = voc
+        self._inv: dict[int, set[int]] = {}
+        self._bow: dict[int, np.ndarray] = {}
+
+    def add(self, kf_id: int, desc: jax.Array, valid: jax.Array):
+        wid = np.asarray(self.voc.assign(desc, valid))
+        self._bow[kf_id] = np.asarray(self.voc.bow_vector(desc, valid))
+        for w in np.unique(wid[wid >= 0]):
+            self._inv.setdefault(int(w), set()).add(kf_id)
+
+    def remove(self, kf_id: int):
+        self._bow.pop(kf_id, None)
+        for s in self._inv.values():
+            s.discard(kf_id)
+
+    def query(self, desc: jax.Array, valid: jax.Array,
+              max_results: int = 5) -> list[tuple[int, float]]:
+        """Relocalization candidates: frames sharing enough words (>= 0.8x
+        the best count, the ORB-SLAM rule the reference ports,
+        Relocalization.cpp) ranked by L1 BoW similarity."""
+        wid = np.asarray(self.voc.assign(desc, valid))
+        counts: dict[int, int] = {}
+        for w in np.unique(wid[wid >= 0]):
+            for kf in self._inv.get(int(w), ()):
+                counts[kf] = counts.get(kf, 0) + 1
+        if not counts:
+            return []
+        min_common = max(1, int(0.8 * max(counts.values())))
+        v = np.asarray(self.voc.bow_vector(desc, valid))
+        scored = [
+            (kf, float(1.0 - 0.5 * np.abs(v - self._bow[kf]).sum()))
+            for kf, c in counts.items()
+            if c >= min_common
+        ]
+        scored.sort(key=lambda x: -x[1])
+        return scored[:max_results]
