@@ -143,8 +143,8 @@ def _track_level(
 
     E0, _ = total_energy(T0, ab0)
 
-    def step(carry, _):
-        T, ab, E, lam = carry
+    def body(carry):
+        T, ab, E, lam, it, done = carry
         ev = evaluate_residuals(
             grad_j, cam_l, uv, idepth, color, weight, T, ab[0], ab[1],
             huber_k=cfg.huber_intensity, cutoff=cfg.tracker_cutoff,
@@ -164,12 +164,25 @@ def _track_level(
         T = jax.tree.map(lambda a, b_: jnp.where(accept, b_, a), T, T_new)
         ab = jnp.where(accept, ab_new, ab)
         E = jnp.where(accept, E_new, E)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 4.0, 1e2))
-        return (T, ab, E, lam), E
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7),
+                        jnp.minimum(lam * 4.0, 1e2))
+        # convergence early-exit (the reference breaks per level on a small
+        # increment, DSOTracker.cpp:101-110): an accepted step below eps, or
+        # LM damping saturating with no accepted step, ends the level —
+        # typically after 3-5 of the budgeted iterations
+        done = (accept & (jnp.linalg.norm(dx) < cfg.tracker_converge_eps)) | (
+            ~accept & (lam >= 1e2 - 1e-6)
+        )
+        return (T, ab, E, lam, it + 1, done)
 
-    (T, ab, E, _), _ = jax.lax.scan(
-        step, (T0, ab0, E0, jnp.asarray(1e-4, dtype=uv.dtype)), None,
-        length=cfg.tracker_iters,
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return (it < cfg.tracker_iters) & ~done
+
+    T, ab, E, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (T0, ab0, E0, jnp.asarray(1e-4, dtype=uv.dtype),
+         jnp.asarray(0, jnp.int32), jnp.asarray(False)),
     )
     return T, ab, E
 

@@ -221,9 +221,14 @@ class DirectOdometry:
         poses = odo.trajectory_c2w()
     """
 
-    def __init__(self, cam: PinholeCamera, cfg: DirectConfig | None = None):
+    def __init__(self, cam: PinholeCamera, cfg: DirectConfig | None = None,
+                 depth_prior=None):
         self.cam = cam
         self.cfg = cfg or DirectConfig()
+        # optional neural inverse-depth prior for initialization
+        # (reference: NN::Precomputed / Midas seeding of DSOInitializer,
+        # Hybrid.cpp:469-473); callable (image, frame_idx, path) -> map|None
+        self.depth_prior = depth_prior
         self.state = "INIT_FIRST"
         self.frame_idx = -1
 
@@ -285,7 +290,14 @@ class DirectOdometry:
         pyr = _preprocess(img, self.cfg.num_levels)
 
         if self.state == "INIT_FIRST":
-            self._init_state = set_first(pyr, self.cam, self.cfg)
+            prior = None
+            if self.depth_prior is not None:
+                p = self.depth_prior(image, self.frame_idx, None)
+                if p is not None and p.shape == (self.cam.height,
+                                                 self.cam.width):
+                    prior = jnp.asarray(p, jnp.float32)
+            self._init_state = set_first(pyr, self.cam, self.cfg,
+                                         prior_idepth=prior)
             self._first_pyr = pyr
             self._first_ts = timestamp
             self.state = "INIT"
@@ -358,11 +370,17 @@ class DirectOdometry:
             self._kf_pyr, self.cam, uv_l, rho_l, ok, self.cfg
         )
 
-    def _track_frame(self, pyr, img, timestamp) -> dict:
+    def _track_frame(self, pyr, img, timestamp, T_seed: SE3 | None = None
+                     ) -> dict:
         cfg, cam = self.cfg, self.cam
-        # constant-velocity prediction: T_pred = (T_curr T_prev^-1) T_curr
+        # constant-velocity prediction: T_pred = (T_curr T_prev^-1) T_curr;
+        # an external seed (e.g. the hybrid's PnP pose) replaces the
+        # prediction in the hypothesis battery but leaves the velocity
+        # model itself untouched
         T_delta = self._T_curr.compose(self._T_prev.inverse())
         T_pred = T_delta.compose(self._T_curr)
+        if T_seed is not None:
+            T_pred = T_seed
         T_init = T_pred.compose(self._kf_T.inverse())
         T_zero = self._T_curr.compose(self._kf_T.inverse())
 
@@ -409,7 +427,12 @@ class DirectOdometry:
             "num_valid": num_valid,
             "kf": bool(need_kf),
             "ok": pose_ok,
+            # statistics feeding the MOD-SLAM decision logic (Research.cpp):
+            # rotational covariance tail + saturated-residual ratio
+            "cov_rot_diag": np.diag(np.asarray(res.cov_pose))[3:],
+            "saturated": float(res.saturated),
         }
+        self._last_track_ab = np.asarray(res.ab)
         if need_kf:
             self._make_keyframe(pyr, res, timestamp)
         self.stats.append(out)
@@ -448,7 +471,10 @@ class DirectOdometry:
             )
 
         T_new = self._T_curr
-        ab_new = self._kf_ab + res.ab
+        ab = res.ab if res is not None else jnp.asarray(
+            getattr(self, "_last_track_ab", np.zeros(2, np.float32))
+        )
+        ab_new = self._kf_ab + ab
         window, slot, energy = _kf_insert_and_ba(
             window, pyr[0], T_new, ab_new,
             jnp.asarray(self.frame_idx, jnp.int32), cam, cfg,
