@@ -28,6 +28,9 @@ class DirectConfig:
 
     # tracker
     tracker_iters: int = 12       # GN/LM iterations per pyramid level
+    tracker_converge_eps: float = 1e-4  # |dx| below which an accepted LM
+                                  # step ends the level (reference:
+                                  # DSOTracker.cpp:101-110 per-level break)
     huber_intensity: float = 9.0  # Huber threshold on intensity residual
     tracker_cutoff: float = 20.0  # hard zero-weight residual cutoff
                                   # (reference: setting_coarseCutoffTH)
