@@ -18,6 +18,7 @@ each host takes a slice of the experiment list (the DCN tier of SURVEY.md
 from __future__ import annotations
 
 import dataclasses
+import functools
 import hashlib
 import json
 import os
@@ -29,9 +30,12 @@ import numpy as np
 from libcml_tpu.eval.trajectory import ate_rmse, rpe_rmse
 
 
+@functools.lru_cache(maxsize=1)
 def _code_hash() -> str:
     """Hash of the package source — the reference keys its cache on the
-    binary's hash so stale results are never reused (slam.py getHash)."""
+    binary's hash so stale results are never reused (slam.py getHash).
+    Computed once per process (the reference hashes its binary once,
+    slam.py getHash); the source cannot change mid-run."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     h = hashlib.sha256()
     for dirpath, _, files in sorted(os.walk(root)):
@@ -62,14 +66,17 @@ class ResultDatabase:
             with open(path) as f:
                 self._db = json.load(f)
 
-    def key(self, dataset: str, config: Any) -> str:
-        return f"{_code_hash()}:{_config_key(config)}:{dataset}"
+    def key(self, dataset: str, config: Any, extra: str = "") -> str:
+        """Cache identity. `extra` carries run parameters that change the
+        result but live outside the config object (max_frames, the odometry
+        class) — omitting them would let a truncated run shadow a full one."""
+        return f"{_code_hash()}:{_config_key(config)}:{dataset}:{extra}"
 
-    def get(self, dataset: str, config: Any) -> dict | None:
-        return self._db.get(self.key(dataset, config))
+    def get(self, dataset: str, config: Any, extra: str = "") -> dict | None:
+        return self._db.get(self.key(dataset, config, extra))
 
-    def put(self, dataset: str, config: Any, metrics: dict):
-        self._db[self.key(dataset, config)] = metrics
+    def put(self, dataset: str, config: Any, metrics: dict, extra: str = ""):
+        self._db[self.key(dataset, config, extra)] = metrics
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
@@ -87,19 +94,21 @@ def run_sequence(
     """Run the SLAM over one sequence, compute ATE/RPE vs groundtruth when
     available, cache the result. Returns the metrics dict
     (reference: statson.py per-sequence entry)."""
-    if db is not None:
-        hit = db.get(dataset_path, config)
-        if hit is not None:
-            return {**hit, "cached": True}
-
     from libcml_tpu.data.capture import load_dataset
     from libcml_tpu.models.direct.config import DirectConfig
     from libcml_tpu.runtime.hybrid import HybridOdometry
 
+    factory = odometry_factory or HybridOdometry
+    extra = f"{getattr(factory, '__qualname__', str(factory))}:{max_frames}"
+    if db is not None:
+        hit = db.get(dataset_path, config, extra)
+        if hit is not None:
+            return {**hit, "cached": True}
+
     cap = load_dataset(dataset_path)
     cam = cap.calibration.pinhole
     cfg = config or DirectConfig()
-    odo = (odometry_factory or HybridOdometry)(cam, cfg)
+    odo = factory(cam, cfg)
 
     t0 = time.time()
     n = 0
@@ -126,7 +135,7 @@ def run_sequence(
         metrics["ate_rmse"] = ate_rmse(est[:, :3, 3], gt_c2w[:, :3, 3])
         metrics["rpe_rmse"] = rpe_rmse(est, gt_c2w)
     if db is not None:
-        db.put(dataset_path, config, metrics)
+        db.put(dataset_path, config, metrics, extra)
     return metrics
 
 

@@ -139,38 +139,50 @@ class NativePrefetcher:
                 _MAXPIX,
             )
 
+    def _python_load(self, path: str) -> np.ndarray:
+        """Pure-Python decode + photometric correction for one frame."""
+        with open(path, "rb") as f:
+            img = decode_gray(f.read())
+        if self._gamma is not None:
+            lut = np.asarray(self._gamma, np.float32)
+            img = np.interp(img, np.arange(256), lut).astype(np.float32)
+        if (self._vignette is not None
+                and self._vignette.shape == img.shape):
+            img = img / np.maximum(self._vignette, 1e-4)
+        return img
+
     def __iter__(self):
         if self._handle is not None:
             out = np.empty(_MAXPIX, np.float32)
             H = ctypes.c_int()
             W = ctypes.c_int()
             optr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            # frames are emitted strictly in order (cmlio_next walks
+            # next_to_emit), so a counter recovers the index of a frame
+            # whose native decode failed — the error rc only carries the
+            # error code, not the index
+            pos = 0
             while True:
                 rc = self._lib.cmlio_next(
                     self._handle, optr, ctypes.byref(H), ctypes.byref(W)
                 )
                 if rc == -1:
                     break
-                if rc <= -1000:   # decode error: fall back for this frame
-                    idx = None
-                    continue
-                yield int(rc), (
-                    out[: H.value * W.value]
-                    .reshape(H.value, W.value)
-                    .copy()
-                )
+                if rc <= -1000:
+                    # native decode error: fall back to the Python decode
+                    # so consumers never see a gap in the frame sequence
+                    yield pos, self._python_load(self.paths[pos])
+                else:
+                    yield int(rc), (
+                        out[: H.value * W.value]
+                        .reshape(H.value, W.value)
+                        .copy()
+                    )
+                pos += 1
             return
         # pure-Python fallback path
         for i, p in enumerate(self.paths):
-            with open(p, "rb") as f:
-                img = decode_gray(f.read())
-            if self._gamma is not None:
-                lut = np.asarray(self._gamma, np.float32)
-                img = np.interp(img, np.arange(256), lut).astype(np.float32)
-            if (self._vignette is not None
-                    and self._vignette.shape == img.shape):
-                img = img / np.maximum(self._vignette, 1e-4)
-            yield i, img
+            yield i, self._python_load(p)
 
     def close(self):
         if self._handle is not None and self._lib is not None:

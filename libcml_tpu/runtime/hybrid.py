@@ -69,6 +69,10 @@ def _extract(img: jax.Array, budget: int, levels: int):
     return extract_orb(pyr, budget_per_level=budget)
 
 
+_run_local_ba = jax.jit(iba.run_local_ba,
+                        static_argnames=("stage1_iters", "stage2_iters"))
+
+
 @jax.jit
 def _project_match_pnp(
     Xw, desc_p, valid_p, level_p, T_pred: SE3, cam: PinholeCamera,
@@ -139,6 +143,10 @@ class HybridOdometry(DirectOdometry):
         self._pt_level = np.zeros((MAP_CAP,), np.int32)
         self._pt_valid = np.zeros((MAP_CAP,), bool)
         self._pt_last_seen = np.zeros((MAP_CAP,), np.int64)
+        # slot generation: bumped whenever a slot is (re)assigned, so stored
+        # observations can detect that "their" point was recycled and drop
+        # themselves instead of constraining a different 3D point
+        self._pt_gen = np.zeros((MAP_CAP,), np.int64)
         self._pt_cursor = 0
         self._map_dev = None   # device mirror tuple
 
@@ -180,6 +188,7 @@ class HybridOdometry(DirectOdometry):
         self._pt_level[free] = level[idx]
         self._pt_valid[free] = True
         self._pt_last_seen[free] = self.frame_idx
+        self._pt_gen[free] += 1
         self._map_dev = None
 
     def _cull_map_points(self, max_age: int = 30):
@@ -308,6 +317,7 @@ class HybridOdometry(DirectOdometry):
             "T_R": np.asarray(T_new.R),
             "T_t": np.asarray(T_new.t),
             "obs_point": pt_idx,
+            "obs_gen": self._pt_gen[pt_idx].copy(),
             "obs_uv": uv_obs.astype(np.float32),
             "obs_sigma2": (1.2 ** (2.0 * lv_obs)).astype(np.float32),
         })
@@ -340,7 +350,17 @@ class HybridOdometry(DirectOdometry):
         IndirectBundleAdjustment::localOptimize + setCameraAndDeform)."""
         kfs = self._ind_kfs
         M = len(kfs)
-        used_pts = np.unique(np.concatenate([k["obs_point"] for k in kfs]))
+        # drop observations whose arena slot was recycled since the keyframe
+        # recorded them (generation mismatch) or whose point died — stale
+        # indices would constrain a DIFFERENT 3D point with old pixels
+        live = [
+            (self._pt_gen[k["obs_point"]] == k["obs_gen"])
+            & self._pt_valid[k["obs_point"]]
+            for k in kfs
+        ]
+        used_pts = np.unique(np.concatenate(
+            [k["obs_point"][lv] for k, lv in zip(kfs, live)]
+        ))
         if used_pts.size < 10:
             return
         N = int(used_pts.size)
@@ -348,15 +368,34 @@ class HybridOdometry(DirectOdometry):
         remap[used_pts] = np.arange(N)
 
         obs_f, obs_p, obs_uv, obs_s2 = [], [], [], []
-        for fi, k in enumerate(kfs):
-            obs_f.append(np.full(len(k["obs_point"]), fi, np.int32))
-            obs_p.append(remap[k["obs_point"]].astype(np.int32))
-            obs_uv.append(k["obs_uv"])
-            obs_s2.append(k["obs_sigma2"])
+        for fi, (k, lv) in enumerate(zip(kfs, live)):
+            obs_f.append(np.full(int(lv.sum()), fi, np.int32))
+            obs_p.append(remap[k["obs_point"][lv]].astype(np.int32))
+            obs_uv.append(k["obs_uv"][lv])
+            obs_s2.append(k["obs_sigma2"][lv])
         obs_f = np.concatenate(obs_f)
         obs_p = np.concatenate(obs_p)
         obs_uv = np.concatenate(obs_uv)
         obs_s2 = np.concatenate(obs_s2)
+
+        # pad point/observation counts to power-of-two buckets: run_local_ba
+        # traces per shape, so raw dynamic sizes would recompile every call
+        def _bucket(n: int) -> int:
+            return 1 << max(4, (n - 1).bit_length())
+
+        Np = _bucket(N)
+        Kp = _bucket(len(obs_f))
+        pad_k = Kp - len(obs_f)
+        obs_valid = np.concatenate([np.ones(len(obs_f), bool),
+                                    np.zeros(pad_k, bool)])
+        obs_f = np.concatenate([obs_f, np.zeros(pad_k, np.int32)])
+        obs_p = np.concatenate([obs_p, np.zeros(pad_k, np.int32)])
+        obs_uv = np.concatenate([obs_uv, np.zeros((pad_k, 2), np.float32)])
+        obs_s2 = np.concatenate([obs_s2, np.ones(pad_k, np.float32)])
+        Xw_pad = np.zeros((Np, 3), np.float32)
+        Xw_pad[:N] = self._pt_Xw[used_pts]
+        point_valid = np.zeros(Np, bool)
+        point_valid[:N] = self._pt_valid[used_pts]
 
         prob = iba.IndirectBAProblem(
             T=SE3(
@@ -365,16 +404,16 @@ class HybridOdometry(DirectOdometry):
             ),
             frame_valid=jnp.ones((M,), bool),
             frame_fixed=jnp.asarray([i == 0 for i in range(M)]),
-            Xw=jnp.asarray(self._pt_Xw[used_pts]),
-            point_valid=jnp.ones((N,), bool),
+            Xw=jnp.asarray(Xw_pad),
+            point_valid=jnp.asarray(point_valid),
             obs_frame=jnp.asarray(obs_f),
             obs_point=jnp.asarray(obs_p),
             obs_uv=jnp.asarray(obs_uv),
-            obs_valid=jnp.ones((len(obs_f),), bool),
+            obs_valid=jnp.asarray(obs_valid),
             obs_sigma2=jnp.asarray(obs_s2),
         )
-        out = iba.run_local_ba(prob, self.cam)
-        Xw_new = np.asarray(out.Xw)
+        out = _run_local_ba(prob, self.cam)
+        Xw_new = np.asarray(out.Xw)[:N]
         if not np.isfinite(Xw_new).all():
             return
         self._pt_Xw[used_pts] = Xw_new

@@ -54,6 +54,8 @@ from libcml_tpu.models.direct.tracker import (
     track_multi,
 )
 from libcml_tpu.ops.image import bilinear, build_gradient_pyramid
+from libcml_tpu.runtime.stats import StatsSheet
+from libcml_tpu.utils import logging as log
 
 
 # ---------------------------------------------------------------------------
@@ -256,6 +258,11 @@ class DirectOdometry:
         # kf_id -> latest known world->cam pose (4x4 np), frozen at marg time
         self._kf_poses: dict[int, np.ndarray] = {}
         self.stats: list[dict] = []
+        # per-phase timers + named statistic streams (reference:
+        # StatisticTimer/StatisticsSheet, Statistic.h:97,123 — ~35 named
+        # stats across modules; surfaced via sheet.to_csv / STAT lines)
+        self.sheet = StatsSheet()
+        self._track_fails = 0
 
     # -- helpers ------------------------------------------------------------
 
@@ -286,8 +293,10 @@ class DirectOdometry:
     def process(self, image, timestamp: float) -> dict:
         """Feed one grayscale frame (H, W) in ~[0, 255]. Returns a stats dict."""
         self.frame_idx += 1
+        log.set_frame(self.frame_idx)
         img = jnp.asarray(image, jnp.float32)
-        pyr = _preprocess(img, self.cfg.num_levels)
+        with self.sheet.timer("time_preprocess").frame(self.frame_idx):
+            pyr = _preprocess(img, self.cfg.num_levels)
 
         if self.state == "INIT_FIRST":
             prior = None
@@ -384,8 +393,9 @@ class DirectOdometry:
         T_init = T_pred.compose(self._kf_T.inverse())
         T_zero = self._T_curr.compose(self._kf_T.inverse())
 
-        res = _track_multi(pyr, cam, self._tracker_ref, T_init, T_zero,
-                           jnp.zeros(2, jnp.float32), cfg)
+        with self.sheet.timer("time_track").frame(self.frame_idx):
+            res = _track_multi(pyr, cam, self._tracker_ref, T_init, T_zero,
+                               jnp.zeros(2, jnp.float32), cfg)
 
         num_valid = int(res.num_valid)
         pose_ok = num_valid >= 24 and bool(
@@ -399,7 +409,9 @@ class DirectOdometry:
             # freeze the velocity (reference: tracking-failure counter +
             # recovery path, Hybrid.cpp:214-222)
             T_world = T_pred
-            self._track_fails = getattr(self, "_track_fails", 0) + 1
+            self._track_fails += 1
+            log.warn("direct tracking failed (%d valid points, fail #%d)",
+                     num_valid, self._track_fails)
         self._T_prev = self._T_curr
         self._T_curr = T_world
         self._record(timestamp, self._kf_id,
@@ -434,7 +446,10 @@ class DirectOdometry:
         }
         self._last_track_ab = np.asarray(res.ab)
         if need_kf:
-            self._make_keyframe(pyr, res, timestamp)
+            with self.sheet.timer("time_keyframe").frame(self.frame_idx):
+                self._make_keyframe(pyr, res, timestamp)
+        for k in ("flow", "energy", "num_valid", "saturated"):
+            self.sheet.push(k, self.frame_idx, out[k])
         self.stats.append(out)
         return out
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import json
 import os
-import struct
 
 import numpy as np
 
@@ -54,8 +53,16 @@ def export_ply(
                 "end_header\n"
             ).encode()
         )
-        for p, c in zip(xyz, rgb):
-            f.write(struct.pack("<fffBBB", p[0], p[1], p[2], c[0], c[1], c[2]))
+        rec = np.zeros(
+            len(xyz),
+            dtype=np.dtype(
+                [("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                 ("r", "u1"), ("g", "u1"), ("b", "u1")],
+            ),
+        )
+        rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+        rec["r"], rec["g"], rec["b"] = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+        f.write(rec.tobytes())
     return len(xyz)
 
 
