@@ -148,6 +148,18 @@ def equidistant_distort(xn: np.ndarray, k1, k2, k3, k4) -> np.ndarray:
     return xn * scale[..., None]
 
 
+def invert_distortion(distort_fn, xn_d: np.ndarray, iters: int = 25) -> np.ndarray:
+    """Numerically invert a forward distortion model on normalized coords:
+    find xn with distort_fn(xn) = xn_d by fixed-point iteration
+    (xn_{k+1} = xn_k + (xn_d - distort(xn_k)) — a contraction for the mild
+    distortions real lenses have). Host-side; used to synthesize raw
+    (distorted) test imagery and to rectify sparse points."""
+    x = np.array(xn_d, np.float64, copy=True)
+    for _ in range(iters):
+        x += xn_d - distort_fn(x)
+    return x
+
+
 @struct.dataclass
 class Calibration:
     """Full per-sequence calibration: output pinhole model + optional remap

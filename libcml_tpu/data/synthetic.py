@@ -131,10 +131,15 @@ class SyntheticScene:
     own texture chart."""
 
     def __init__(self, planes: list[Plane], cam: PinholeCamera,
-                 tex3d: VolumetricTexture | None = None):
+                 tex3d: VolumetricTexture | None = None,
+                 undistort_xn=None):
         self.planes = planes
         self.cam = cam
         self.tex3d = tex3d
+        # optional lens model: maps recorded (distorted) normalized coords to
+        # true viewing directions, turning this into a distorting camera —
+        # used to synthesize raw footage for rectification tests
+        self.undistort_xn = undistort_xn
 
     @classmethod
     def default(cls, cam: PinholeCamera, seed: int = 0) -> "SyntheticScene":
@@ -182,6 +187,11 @@ class SyntheticScene:
         # unit-z ray directions in camera frame
         x = (u - float(cam.cx)) / float(cam.fx)
         y = (v - float(cam.cy)) / float(cam.fy)
+        if self.undistort_xn is not None:
+            # distorting lens: the recorded pixel's TRUE viewing direction is
+            # the undistorted normalized coordinate
+            xn = self.undistort_xn(np.stack([x, y], axis=-1))
+            x, y = xn[..., 0], xn[..., 1]
         rays = np.stack([x, y, np.ones_like(x)], axis=-1)  # (H, W, 3)
         R = np.asarray(R_w2c, dtype=np.float64)
         t = np.asarray(t_w2c, dtype=np.float64)

@@ -34,11 +34,22 @@ class TumMonoCapture(AbstractCapture):
     def __init__(self, path: str):
         self.path = path
         self.img_dir = os.path.join(path, "images")
-        if not os.path.isdir(self.img_dir):
-            raise NotImplementedError("zipped TUM sequences need extraction")
-        self.files = sorted(
-            f for f in os.listdir(self.img_dir) if f.endswith((".png", ".jpg"))
-        )
+        self._zip = None
+        if os.path.isdir(self.img_dir):
+            self.files = sorted(
+                f for f in os.listdir(self.img_dir)
+                if f.endswith((".png", ".jpg"))
+            )
+        else:
+            # zipped sequence: read members directly, no extraction
+            # (reference: TUMCapture zip path + ZipCaptureHelper.h)
+            import zipfile
+
+            self._zip = zipfile.ZipFile(os.path.join(path, "images.zip"))
+            self.files = sorted(
+                n for n in self._zip.namelist()
+                if n.endswith((".png", ".jpg")) and not n.startswith("__")
+            )
 
         # times.txt: "id timestamp exposure_ms"
         rows = np.loadtxt(os.path.join(path, "times.txt"), dtype=np.float64,
@@ -94,7 +105,14 @@ class TumMonoCapture(AbstractCapture):
         return len(self.files)
 
     def _load(self, index: int) -> CaptureFrame:
-        img = _read_image_gray(os.path.join(self.img_dir, self.files[index]))
+        if self._zip is not None:
+            from libcml_tpu.native.io import decode_gray
+
+            img = decode_gray(self._zip.read(self.files[index]))
+        else:
+            img = _read_image_gray(
+                os.path.join(self.img_dir, self.files[index])
+            )
         return CaptureFrame(
             index=index,
             timestamp=float(self.times[index]) if index < len(self.times) else float(index),

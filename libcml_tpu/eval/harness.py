@@ -106,15 +106,16 @@ def run_sequence(
             return {**hit, "cached": True}
 
     cap = load_dataset(dataset_path)
-    cam = cap.calibration.pinhole
     cfg = config or DirectConfig()
-    odo = factory(cam, cfg)
+    # full calibration: device-side rectification + photometric correction
+    odo = factory(cap.calibration, cfg)
 
     t0 = time.time()
     n = 0
     gt_poses = []
     for frame in cap.frames():
-        odo.process(frame.image, frame.timestamp)
+        odo.process(frame.image, frame.timestamp,
+                    gt_pose_c2w=frame.gt_pose_c2w)
         gt_poses.append(frame.gt_pose_c2w)
         n += 1
         if max_frames and n >= max_frames:

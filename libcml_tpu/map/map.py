@@ -154,7 +154,13 @@ class SlamMap:
         n = self.n_frames
         out = np.zeros((n, 4, 4))
         for i in range(n):
-            out[i] = np.linalg.inv(self.pose_w2c(i))
+            # SE3 inverse analytically (np.linalg.inv raises on degenerate
+            # poses; a rigid transform inverts as [R^T | -R^T t])
+            w2c = self.pose_w2c(i)
+            R = w2c[:3, :3]
+            out[i] = np.eye(4)
+            out[i, :3, :3] = R.T
+            out[i, :3, 3] = -R.T @ w2c[:3, 3]
         return self.f_timestamp[:n].copy(), out
 
     # -- points --------------------------------------------------------------

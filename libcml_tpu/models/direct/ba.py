@@ -122,6 +122,169 @@ def anchor_first_frame(state: BAState, slot: int, cfg: DirectConfig) -> BAState:
 
 
 # ---------------------------------------------------------------------------
+# Mixed-BA indirect factors
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class IndirectFactors:
+    """Fixed-capacity reprojection factors injected into the photometric
+    window — MOD-SLAM's mixed bundle adjustment (reference:
+    DSOBundleAdjustment.h:161 addIndirectToProblem,
+    DSOBundleAdjustment.cpp:2674-2700 indirect Schur solve).
+
+    Each of Q indirect map points is idepth-parameterized in a HOST window
+    slot (anchor pixel uv, inverse depth rho) and observed as a matched ORB
+    corner in other window slots; the 2-d reprojection residuals add to the
+    pose block of the window's normal equations and the idepths are
+    Schur-eliminated alongside the photometric ones. Factors are transient:
+    rebuilt from the live indirect map at every keyframe event, never
+    marginalized, so their Jacobians use CURRENT state (no FEJ needed)."""
+
+    uv: jax.Array          # (Q, 2) anchor pixel in host frame (level 0)
+    host: jax.Array        # (Q,) int32 host window slot
+    idepth: jax.Array      # (Q,) inverse depth in host frame
+    point_valid: jax.Array  # (Q,) bool
+    obs_uv: jax.Array      # (Q, F, 2) observed corner in target slot
+    obs_valid: jax.Array   # (Q, F) bool
+    sigma2: jax.Array      # (Q, F) measurement variance (px^2, per level)
+
+    @property
+    def num_points(self) -> int:
+        return self.uv.shape[0]
+
+
+def empty_indirect(num_points: int, num_frames: int) -> IndirectFactors:
+    Q, F = num_points, num_frames
+    return IndirectFactors(
+        uv=jnp.zeros((Q, 2), jnp.float32),
+        host=jnp.zeros((Q,), jnp.int32),
+        idepth=jnp.ones((Q,), jnp.float32),
+        point_valid=jnp.zeros((Q,), bool),
+        obs_uv=jnp.zeros((Q, F, 2), jnp.float32),
+        obs_valid=jnp.zeros((Q, F), bool),
+        sigma2=jnp.ones((Q, F), jnp.float32),
+    )
+
+
+_CHI2_2D = 5.991  # 95% chi2 with 2 dof (reference: g2o Huber delta)
+
+
+def _linearize_indirect(
+    state: BAState, ind: IndirectFactors, cam: PinholeCamera,
+    cfg: DirectConfig,
+):
+    """(Q, F) reprojection residual sweep: r = proj(T_f T_h^-1 X_h) - obs.
+
+    Returns r (Q, F, 2), w (Q, F) scalar robust weights (already /sigma2 and
+    scaled by cfg.mixed_weight), J_t (Q, F, 2, 6), J_h (Q, F, 2, 6),
+    J_rho (Q, F, 2), active (Q, F), energy (scalar, robust)."""
+    Q, F = ind.num_points, state.num_frames
+
+    rel = _pairwise_rel(state.T)                               # (F, F)
+    T_qf = jax.tree.map(lambda x: x[ind.host], rel)            # (Q, F, ...)
+
+    X_h = cam.unproject(ind.uv, ind.idepth)                    # (Q, 3)
+    X_t = jnp.einsum("qfij,qj->qfi", T_qf.R, X_h) + T_qf.t     # (Q, F, 3)
+    pred, z_ok = cam.project(X_t)                              # (Q, F, 2)
+    r = pred - ind.obs_uv
+
+    J_uv_Xt = proj_jacobian(cam, X_t)                          # (Q, F, 2, 3)
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), (Q, F, 3, 3))
+    J_Xt_t = jnp.concatenate([eye3, -skew(X_t)], axis=-1)      # (Q, F, 3, 6)
+    J_Xh = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), (Q, 3, 3)), -skew(X_h)],
+        axis=-1,
+    )                                                          # (Q, 3, 6)
+    J_Xt_h = -jnp.einsum("qfij,qjd->qfid", T_qf.R, J_Xh)       # (Q, F, 3, 6)
+    J_t = jnp.einsum("qfuc,qfcd->qfud", J_uv_Xt, J_Xt_t)       # (Q, F, 2, 6)
+    J_h = jnp.einsum("qfuc,qfcd->qfud", J_uv_Xt, J_Xt_h)
+    dXt_drho = -(X_t - T_qf.t) / jnp.maximum(ind.idepth, 1e-8)[:, None, None]
+    J_rho = jnp.einsum("qfuc,qfc->qfu", J_uv_Xt, dXt_drho)     # (Q, F, 2)
+
+    fv = state.frame_valid
+    not_self = ind.host[:, None] != jnp.arange(F)[None, :]
+    active = (
+        ind.obs_valid
+        & ind.point_valid[:, None]
+        & fv[None, :]
+        & fv[ind.host][:, None]
+        & not_self
+        & z_ok
+        & (X_t[..., 2] > 1e-4)
+    )
+    chi2 = jnp.sum(r * r, -1) / ind.sigma2                     # (Q, F)
+    hub = jnp.where(
+        chi2 > _CHI2_2D, jnp.sqrt(_CHI2_2D / jnp.maximum(chi2, 1e-12)), 1.0
+    )
+    w = jnp.where(active, cfg.mixed_weight * hub / ind.sigma2, 0.0)
+    e = jnp.where(
+        chi2 <= _CHI2_2D, chi2,
+        2.0 * jnp.sqrt(_CHI2_2D * jnp.maximum(chi2, 1e-12)) - _CHI2_2D,
+    )
+    energy = cfg.mixed_weight * jnp.sum(jnp.where(active, e, 0.0))
+    return r, w, J_t, J_h, J_rho, active, energy
+
+
+def _assemble_indirect(
+    state: BAState, ind: IndirectFactors, cam: PinholeCamera,
+    cfg: DirectConfig,
+):
+    """Normal-equation contributions of the indirect factors: dense pose-only
+    H (F*8, F*8 — affine rows zero), b, plus the diagonal idepth block and
+    its camera coupling for the Schur complement."""
+    Q, F = ind.num_points, state.num_frames
+    D = F * _D
+    r, w, J_t, J_h, J_rho, active, energy = _linearize_indirect(
+        state, ind, cam, cfg
+    )
+
+    # lift (…, 6) pose Jacobians to the 8-dof slot layout (affine cols zero)
+    pad = ((0, 0), (0, 0), (0, 0), (0, 2))
+    J_t8 = jnp.pad(J_t, pad)                                  # (Q, F, 2, 8)
+    J_h8 = jnp.pad(J_h, pad)
+
+    onehot_h = jax.nn.one_hot(ind.host, F, dtype=r.dtype)     # (Q, F)
+    Jt_w = J_t8 * w[..., None, None]
+    Jh_w = J_h8 * w[..., None, None]
+
+    H_tt = jnp.einsum("qfud,qfue->fde", Jt_w, J_t8)
+    H_hh = jnp.einsum("qfud,qfue,qh->hde", Jh_w, J_h8, onehot_h)
+    H_th = jnp.einsum("qfud,qfue,qh->fhde", Jt_w, J_h8, onehot_h)
+    b_t = jnp.einsum("qfud,qfu->fd", Jt_w, r)
+    b_h = jnp.einsum("qfud,qfu,qh->hd", Jh_w, r, onehot_h)
+
+    diag = H_tt + H_hh
+    H_full = (
+        H_th
+        + jnp.transpose(H_th, (1, 0, 3, 2))
+        + jnp.zeros((F, F, _D, _D), r.dtype)
+        .at[jnp.arange(F), jnp.arange(F)]
+        .add(diag)
+    )
+    H = jnp.transpose(H_full, (0, 2, 1, 3)).reshape(D, D)
+    b = (b_t + b_h).reshape(D)
+
+    # idepth block (diagonal over Q) + coupling rows
+    H_rho = jnp.einsum("qfu,qf,qfu->q", J_rho, w, J_rho)
+    b_rho = jnp.einsum("qfu,qf,qfu->q", J_rho, w, r)
+    Hx_t = jnp.einsum("qfud,qf,qfu->qfd", J_t8, w, J_rho)     # (Q, F, 8)
+    Hx_h = jnp.einsum("qfud,qf,qfu->qd", J_h8, w, J_rho)      # (Q, 8)
+    H_xr = Hx_t.reshape(Q, D) + jnp.einsum(
+        "qd,qh->qhd", Hx_h, onehot_h
+    ).reshape(Q, D)
+    return H, b, H_rho, b_rho, H_xr, active, energy
+
+
+def indirect_energy(
+    state: BAState, ind: IndirectFactors, cam: PinholeCamera,
+    cfg: DirectConfig,
+) -> jax.Array:
+    *_, energy = _linearize_indirect(state, ind, cam, cfg)
+    return energy
+
+
+# ---------------------------------------------------------------------------
 # Linearization
 # ---------------------------------------------------------------------------
 
@@ -341,10 +504,12 @@ def _gauge_priors(state: BAState, cfg: DirectConfig):
 
 
 def total_energy(
-    state: BAState, images: jax.Array, cam: PinholeCamera, cfg: DirectConfig
+    state: BAState, images: jax.Array, cam: PinholeCamera, cfg: DirectConfig,
+    ind: IndirectFactors | None = None,
 ) -> jax.Array:
     """The exact functional the solver minimizes (photometric + prior +
-    affine anchors), for accept/reject consistency."""
+    affine anchors + optional mixed-BA reprojection terms), for
+    accept/reject consistency."""
     lin = linearize(state, images, cam, cfg)
     e_photo = jnp.sum(lin.energy)
     delta_flat = state.delta.reshape(-1)
@@ -356,7 +521,10 @@ def total_energy(
         jnp.where(fv, cfg.ba_prior_a * state.ab[:, 0] ** 2
                   + cfg.ba_prior_b * state.ab[:, 1] ** 2, 0.0)
     )
-    return e_photo + e_prior + e_ab
+    e = e_photo + e_prior + e_ab
+    if ind is not None:
+        e = e + indirect_energy(state, ind, cam, cfg)
+    return e
 
 
 def ba_step(
@@ -365,12 +533,23 @@ def ba_step(
     cam: PinholeCamera,
     cfg: DirectConfig,
     lam: jax.Array,
+    ind: IndirectFactors | None = None,
 ):
-    """One LM iteration: linearize, Schur-solve, back-substitute idepths."""
+    """One LM iteration: linearize, Schur-solve, back-substitute idepths.
+    With `ind`, mixed-BA reprojection factors join the normal equations and
+    their idepths are Schur-eliminated alongside the photometric ones.
+    Returns (new_state, new_ind, lin)."""
     F = state.num_frames
     D = F * _D
     lin = linearize(state, images, cam, cfg)
     H, b, H_rho, b_rho, H_xr = _assemble(lin, state, cfg)
+
+    if ind is not None:
+        Hi, bi, Hi_rho, bi_rho, Hi_xr, _, _ = _assemble_indirect(
+            state, ind, cam, cfg
+        )
+        H = H + Hi
+        b = b + bi
 
     # marginalization prior (gradient at current state: b_m + H_m delta)
     delta_flat = state.delta.reshape(-1)
@@ -383,6 +562,10 @@ def ba_step(
 
     H_sc, b_sc, H_rho_d = _schur_reduce(H, b, H_rho, b_rho, H_xr, lam,
                                         state.point_valid)
+    if ind is not None:
+        H_sc, b_sc, Hi_rho_d = _schur_reduce(
+            H_sc, b_sc, Hi_rho, bi_rho, Hi_xr, lam, ind.point_valid
+        )
     H_sc = H_sc + lam * jnp.diag(jnp.diag(H_sc)) + 1e-6 * jnp.eye(D, dtype=H.dtype)
     dx = jnp.linalg.solve(H_sc, b_sc)                                  # (D,)
 
@@ -420,7 +603,15 @@ def ba_step(
         delta=state.delta - dx_f,
         idepth=jnp.clip(state.idepth - d_rho, cfg.idepth_min, cfg.idepth_max),
     )
-    return new_state, lin
+    new_ind = ind
+    if ind is not None:
+        d_rho_i = (bi_rho - Hi_xr @ dx) / Hi_rho_d
+        d_rho_i = jnp.where(ind.point_valid, d_rho_i, 0.0)
+        new_ind = ind.replace(
+            idepth=jnp.clip(ind.idepth - d_rho_i, cfg.idepth_min,
+                            cfg.idepth_max)
+        )
+    return new_state, new_ind, lin
 
 
 def run_ba(
@@ -436,7 +627,7 @@ def run_ba(
 
     def step(carry, _):
         st, E, lam = carry
-        cand, _ = ba_step(st, images, cam, cfg, lam)
+        cand, _, _ = ba_step(st, images, cam, cfg, lam)
         E_new = total_energy(cand, images, cam, cfg)
         accept = E_new < E
         st = jax.tree.map(
@@ -453,6 +644,48 @@ def run_ba(
         length=cfg.ba_iters,
     )
     return state, E
+
+
+def run_ba_mixed(
+    state: BAState,
+    images: jax.Array,
+    cam: PinholeCamera,
+    cfg: DirectConfig,
+    ind: IndirectFactors,
+) -> tuple[BAState, IndirectFactors, jax.Array]:
+    """Joint photometric + indirect-reprojection LM over the window — the
+    mixed bundle adjustment (reference: DSOBundleAdjustment.cpp:2674
+    addIndirectToProblem + joint Schur solve). Same accept/reject loop as
+    run_ba with the reprojection terms in both the normal equations and the
+    energy; indirect idepths ride the carry."""
+
+    E0 = total_energy(state, images, cam, cfg, ind)
+
+    def step(carry, _):
+        st, ii, E, lam = carry
+        cand, cand_i, _ = ba_step(st, images, cam, cfg, lam, ii)
+        E_new = total_energy(cand, images, cam, cfg, cand_i)
+        accept = E_new < E
+        st = jax.tree.map(
+            lambda a, b_: jnp.where(jnp.reshape(accept, (1,) * a.ndim), b_, a),
+            st, cand,
+        )
+        ii = jax.tree.map(
+            lambda a, b_: jnp.where(jnp.reshape(accept, (1,) * a.ndim), b_, a),
+            ii, cand_i,
+        )
+        E = jnp.where(accept, E_new, E)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.4, 1e-7),
+                        jnp.minimum(lam * 5.0, 1e2))
+        return (st, ii, E, lam), E
+
+    (state, ind, E, _), _ = jax.lax.scan(
+        step,
+        (state, ind, E0, jnp.asarray(cfg.ba_lambda_init, jnp.float32)),
+        None,
+        length=cfg.ba_iters,
+    )
+    return state, ind, E
 
 
 def relinearize(state: BAState) -> BAState:

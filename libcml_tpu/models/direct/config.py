@@ -54,6 +54,20 @@ class DirectConfig:
     marg_weight: float = 0.5      # weight of freshly marginalized info
                                   # (reference: setting_margWeightFac)
 
+    # mixed bundle adjustment (MOD-SLAM's joint photometric + reprojection
+    # window solve; reference: DSOBundleAdjustment.h:161 addIndirectToProblem)
+    mixed_ba: bool = True
+    mixed_points: int = 256       # indirect-factor capacity in the window
+    mixed_weight: float = 10.0    # information scale of reprojection terms
+                                  # relative to photometric units (the
+                                  # reference exposes the analogous knob as a
+                                  # Hybrid parameter). Photometric terms are
+                                  # implicitly sigma_I = 1 intensity unit;
+                                  # ~1 px corner noise at these gradients
+                                  # makes O(10) the calibrated ratio — large
+                                  # values let noisy corners drag poses off
+                                  # the photometric optimum
+
     # initializer
     init_iters: int = 24
     init_points: int = 1024
@@ -78,6 +92,17 @@ class DirectConfig:
     scale_rot: float = 1.0
     scale_a: float = 10.0
     scale_b: float = 1000.0
+
+    # failure handling (reference: Hybrid.cpp:214-222 tracking-failure
+    # counter -> restartOrStop, AbstractSlam.cpp:98-104)
+    max_track_fails: int = 3      # consecutive failures before recovery
+    fail_saturated: float = 0.7   # saturated-residual ratio above which a
+                                  # track counts as failed
+    lost_grace_frames: int = 8    # frames spent in LOST retrying
+                                  # relocalization before a blind restart
+    stop_on_lost: bool = False    # reference stops after >=60 frames; a
+                                  # library runtime restarts a new segment
+                                  # unless asked to stop
 
     # keyframe decision (direct/Tracking.cpp:4 flow+brightness criterion)
     kf_flow_weight: float = 1.0

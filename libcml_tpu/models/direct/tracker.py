@@ -306,7 +306,12 @@ def track(
     flow_rot_sq = jnp.sum((ev_rot.uv_j - ref.uv[0]) ** 2, axis=-1)
     flow_no_trans = jnp.sqrt(jnp.sum(jnp.where(ok, flow_rot_sq, 0.0)) / n)
 
-    saturated = jnp.sum(jnp.where(ok, ev.energy > cfg.outlier_energy, False)) / n
+    # saturation = residuals pinned at the hard cutoff (their energy is
+    # CAPPED at huber(cutoff) which sits below outlier_energy, so an
+    # energy-threshold count would read zero even on a total blackout;
+    # reference: the saturated-ratio statistic of DSOTracker's Residual)
+    sat_r = jnp.abs(ev.r[:, 0]) >= 0.98 * cfg.tracker_cutoff
+    saturated = jnp.sum(jnp.where(ok, sat_r, False)) / n
 
     return TrackResult(
         T_ji=T,

@@ -38,6 +38,7 @@ import numpy as np
 
 from libcml_tpu.core.camera import PinholeCamera
 from libcml_tpu.core.lie import SE3
+from libcml_tpu.models.direct import ba as ba_mod
 from libcml_tpu.models.direct.config import DirectConfig
 from libcml_tpu.models.hybrid.decision import (
     BundleAdjustmentDecision,
@@ -59,7 +60,8 @@ from libcml_tpu.runtime.odometry import DirectOdometry
 # arena capacities (static shapes; reference budgets: 625-2000 ORB corners,
 # map grows unbounded — here a recycling arena, evaluation presets fit)
 MAP_CAP = 4096
-KF_RING = 6          # local-BA keyframe window (matches direct window size)
+KF_RING = 6          # local-BA keyframe count (covisibility-selected)
+KF_HISTORY = 48      # indirect keyframes kept for covisibility selection
 OBS_PER_KF = 1024
 
 
@@ -71,6 +73,8 @@ def _extract(img: jax.Array, budget: int, levels: int):
 
 _run_local_ba = jax.jit(iba.run_local_ba,
                         static_argnames=("stage1_iters", "stage2_iters"))
+
+_run_mixed_ba = jax.jit(ba_mod.run_ba_mixed, static_argnames=("cfg",))
 
 
 @jax.jit
@@ -147,6 +151,9 @@ class HybridOdometry(DirectOdometry):
         # observations can detect that "their" point was recycled and drop
         # themselves instead of constraining a different 3D point
         self._pt_gen = np.zeros((MAP_CAP,), np.int64)
+        # SlamMap point id per arena slot (the system-of-record identity:
+        # the arena recycles, the map only grows)
+        self._pt_mapid = np.full((MAP_CAP,), -1, np.int64)
         self._pt_cursor = 0
         self._map_dev = None   # device mirror tuple
 
@@ -156,6 +163,12 @@ class HybridOdometry(DirectOdometry):
         self._last_kf_T: SE3 | None = None
         self._last_kf_idx = -1
         self._ref_kf_tracked = 1
+
+        # relocalization: BoW keyframe retrieval + per-keyframe feature
+        # store with feature -> map-slot association (reference:
+        # Relocalization.{h,cpp} + EPnP absolute pose)
+        self._kfdb = None          # lazy KeyframeDatabase
+        self._kf_store: dict[int, dict] = {}
 
         self.mode_history: list[str] = []
 
@@ -189,6 +202,10 @@ class HybridOdometry(DirectOdometry):
         self._pt_valid[free] = True
         self._pt_last_seen[free] = self.frame_idx
         self._pt_gen[free] += 1
+        # register in the system-of-record map (reference: Map::createMapPoint)
+        self._pt_mapid[free] = self.map.add_points(
+            Xw[idx], groups=self.map.groups.point_group("INDIRECTGROUP")
+        )
         self._map_dev = None
 
     def _cull_map_points(self, max_age: int = 30):
@@ -238,12 +255,16 @@ class HybridOdometry(DirectOdometry):
         seed = pnp_res.T if (mode == Mode.INDIRECT and pnp_res is not None) \
             else None
         out = super()._track_frame(pyr, img, timestamp, T_seed=seed)
+        if out.get("restarted") or out.get("relocalized") \
+                or out["state"] != "TRACKING":
+            # the failure path reset the spine; skip indirect postprocessing
+            out["mode"] = mode
+            return out
         if mode == Mode.INDIRECT and pnp_res is not None and not out["ok"]:
             # direct refinement failed; the PnP pose stands on its own
             self._T_curr = pnp_res.T
-            self._records[-1] = (
-                timestamp, self._kf_id, *self._rel_to_kf(pnp_res.T)
-            )
+            self._record(timestamp, self._kf_id,
+                         pnp_res.T.compose(self._kf_T.inverse()))
             out["ok"] = True
             self._track_fails = 0
 
@@ -268,10 +289,6 @@ class HybridOdometry(DirectOdometry):
             self._indirect_postprocess(feats, timestamp)
         self._cull_map_points()
         return out
-
-    def _rel_to_kf(self, T_world: SE3):
-        T_rel = T_world.compose(self._kf_T.inverse())
-        return np.asarray(T_rel.R), np.asarray(T_rel.t)
 
     # -- keyframe postprocess ------------------------------------------------
 
@@ -318,14 +335,22 @@ class HybridOdometry(DirectOdometry):
             "T_t": np.asarray(T_new.t),
             "obs_point": pt_idx,
             "obs_gen": self._pt_gen[pt_idx].copy(),
+            "obs_mapid": self._pt_mapid[pt_idx].copy(),
             "obs_uv": uv_obs.astype(np.float32),
             "obs_sigma2": (1.2 ** (2.0 * lv_obs)).astype(np.float32),
         })
-        self._ind_kfs = self._ind_kfs[-KF_RING:]
+        self._ind_kfs = self._ind_kfs[-KF_HISTORY:]
+        # covisibility bookkeeping in the system-of-record map (reference:
+        # processIndirectCovisiblity, Map.cpp:449)
+        mf = self._fid2map.get(self.frame_idx)
+        if mf is not None:
+            mids = self._pt_mapid[pt_idx]
+            self.map.add_observations(mf, mids[mids >= 0])
         self._ref_kf_tracked = max(int(m.num), 1)
         self._last_kf_feats = feats
         self._last_kf_T = T_new
         self._last_kf_idx = self.frame_idx
+        self._add_reloc_keyframe(feats, np.asarray(m.idx), pt_idx)
 
         ba_mode = self.ba_decision.decide(
             num_indirect_points=int(self._pt_valid.sum()),
@@ -335,6 +360,13 @@ class HybridOdometry(DirectOdometry):
                 self.stats[-1].get("saturated", 0.0) if self.stats else 0.0
             ),
         )
+        # mixed BA fires when the decision logic distrusts the pure
+        # photometric window (reference: bundleAdjustmentDecision ->
+        # BAINDIRECT routes correction through indirect constraints); in
+        # good photometric conditions the direct BA already sits at the
+        # optimum and reprojection noise could only perturb it
+        if self.cfg.mixed_ba and ba_mode == Mode.INDIRECT:
+            self._run_mixed_window_ba()
         if len(self._ind_kfs) >= 3:
             # points are always refined (they only feed the indirect
             # tracker); POSES move only when the decision logic picked the
@@ -344,11 +376,263 @@ class HybridOdometry(DirectOdometry):
                 move_poses=(ba_mode == Mode.INDIRECT)
             )
 
+    # -- relocalization ------------------------------------------------------
+
+    def _add_reloc_keyframe(self, feats, match_idx: np.ndarray,
+                            pt_idx: np.ndarray):
+        """Index this keyframe for BoW relocalization: inverted-file entry +
+        feature store with feature -> map-slot association (reference:
+        Relocalization::addKeyFrame)."""
+        if self._kfdb is None:
+            from libcml_tpu.models.indirect.bow import (
+                KeyframeDatabase,
+                default_vocabulary,
+            )
+
+            self._kfdb = KeyframeDatabase(default_vocabulary())
+        self._kfdb.add(self.frame_idx, feats.desc, feats.valid)
+        n = feats.desc.shape[0]
+        feat2slot = np.full((n,), -1, np.int64)
+        feat2gen = np.zeros((n,), np.int64)
+        fidx = match_idx[pt_idx]
+        feat2slot[fidx] = pt_idx
+        feat2gen[fidx] = self._pt_gen[pt_idx]
+        self._kf_store[self.frame_idx] = {
+            "desc": np.asarray(feats.desc),
+            "valid": np.asarray(feats.valid),
+            "feat2slot": feat2slot,
+            "feat2gen": feat2gen,
+        }
+
+    def _attempt_relocalization(self, pyr, timestamp) -> bool:
+        """BoW candidate retrieval -> descriptor matching -> EPnP RANSAC
+        absolute pose -> restart the window anchored at the recovered pose,
+        keeping the indirect map (reference: Relocalization candidates +
+        EPnP.h:129; the failure loop of Hybrid.cpp:214-222)."""
+        if self._kfdb is None or not self._kf_store:
+            return False
+        from libcml_tpu.models.indirect.epnp import epnp_ransac
+        from libcml_tpu.models.indirect.matching import match_descriptors
+
+        img = pyr[0][..., 0]
+        feats = _extract(img, self.orb_budget, self.orb_levels)
+        cands = self._kfdb.query(feats.desc, feats.valid, max_results=3)
+        for kf_id, _score in cands:
+            st = self._kf_store.get(kf_id)
+            if st is None:
+                continue
+            m = match_descriptors(
+                feats.desc, feats.valid,
+                jnp.asarray(st["desc"]), jnp.asarray(st["valid"]),
+            )
+            mi = np.asarray(m.idx)
+            mv = np.asarray(m.valid)
+            slots = st["feat2slot"][mi]
+            safe = np.maximum(slots, 0)
+            sel = (
+                mv
+                & (slots >= 0)
+                & self._pt_valid[safe]
+                & (self._pt_gen[safe] == st["feat2gen"][mi])
+            )
+            if sel.sum() < 16:
+                continue
+            Xw = np.zeros((len(mi), 3), np.float32)
+            Xw[sel] = self._pt_Xw[slots[sel]]
+            res = epnp_ransac(
+                jnp.asarray(Xw), feats.uv, jnp.asarray(sel), self.cam,
+                jax.random.PRNGKey(self.frame_idx),
+            )
+            if bool(res.ok) and np.isfinite(np.asarray(res.T.t)).all():
+                self._reloc_restart = True
+                self._restart_segment(pyr, timestamp, res.T)
+                return True
+        return False
+
+    def _restart_segment(self, pyr, timestamp, anchor):
+        """Restart the direct spine; the indirect map survives only when the
+        new segment is anchored by relocalization (same world frame) —
+        a blind restart breaks the world frame, so the map, keyframe ring
+        and retrieval index restart with it (reference: Map reset on
+        restart, AbstractSlam.cpp:98-104)."""
+        keep_map = getattr(self, "_reloc_restart", False)
+        self._reloc_restart = False
+        super()._restart_segment(pyr, timestamp, anchor)
+        self._ind_kfs = []
+        self._last_kf_feats = None
+        self._last_kf_T = None
+        self._ref_kf_tracked = 1
+        if not keep_map:
+            self._pt_valid[:] = False
+            self._map_dev = None
+            self._kf_store.clear()
+            if self._kfdb is not None:
+                from libcml_tpu.models.indirect.bow import KeyframeDatabase
+
+                self._kfdb = KeyframeDatabase(self._kfdb.voc)
+
+    def _build_mixed_factors(self):
+        """Assemble fixed-capacity reprojection factors linking the indirect
+        map to the direct window's keyframe slots: for every map point with
+        >=2 observations among the window's keyframes, anchor it (observed
+        corner pixel + inverse depth) in the oldest observing slot and add
+        its other observations as residual targets. Returns
+        (IndirectFactors, host_slots (Q,), map_slots (Q,)) or (None, ...)."""
+        w = self._window
+        ba = w.ba
+        F = ba.num_frames
+        fids = np.asarray(w.frame_id)
+        fvalid = np.asarray(ba.frame_valid)
+        slot_of = {
+            int(fids[s]): s for s in range(F) if fvalid[s] and fids[s] >= 0
+        }
+        obs: dict[int, list] = {}
+        for k in self._ind_kfs:
+            s = slot_of.get(int(k["kf_id"]))
+            if s is None:
+                continue
+            live = (
+                (self._pt_gen[k["obs_point"]] == k["obs_gen"])
+                & self._pt_valid[k["obs_point"]]
+            )
+            for p, uv, s2 in zip(k["obs_point"][live], k["obs_uv"][live],
+                                 k["obs_sigma2"][live]):
+                obs.setdefault(int(p), []).append((s, uv, float(s2)))
+        items = [(p, o) for p, o in obs.items() if len(o) >= 3]
+        if len(items) < 24:
+            return None, None, None
+        Q = self.cfg.mixed_points
+        items = items[:Q]
+
+        R = np.asarray(ba.T.R)
+        t = np.asarray(ba.T.t)
+        uv_a = np.zeros((Q, 2), np.float32)
+        host = np.zeros((Q,), np.int32)
+        rho = np.ones((Q,), np.float32)
+        pvalid = np.zeros((Q,), bool)
+        obs_uv = np.zeros((Q, F, 2), np.float32)
+        obs_valid = np.zeros((Q, F), bool)
+        sigma2 = np.ones((Q, F), np.float32)
+        map_slots = np.full((Q,), -1, np.int64)
+        gate_px = 5.0   # drop gross outlier matches before the solve
+        fx, fy = float(self.cam.fx), float(self.cam.fy)
+        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        for qi, (p, o) in enumerate(items):
+            hs, huv, _ = o[0]       # oldest observation anchors the point
+            Xh = R[hs] @ self._pt_Xw[p] + t[hs]
+            if Xh[2] <= 0.05:
+                continue
+            uv_a[qi] = huv
+            host[qi] = hs
+            rho[qi] = 1.0 / Xh[2]
+            for s, uv, s2 in o[1:]:
+                Xs = R[s] @ self._pt_Xw[p] + t[s]
+                if Xs[2] <= 0.05:
+                    continue
+                pu = fx * Xs[0] / Xs[2] + cx
+                pv = fy * Xs[1] / Xs[2] + cy
+                if (pu - uv[0]) ** 2 + (pv - uv[1]) ** 2 > gate_px ** 2 * s2:
+                    continue
+                obs_uv[qi, s] = uv
+                obs_valid[qi, s] = True
+                sigma2[qi, s] = s2
+            # a single non-anchor observation leaves idepth barely
+            # constrained — the factor then mostly injects its matching
+            # noise into the pose block; require two
+            pvalid[qi] = obs_valid[qi].sum() >= 2
+            map_slots[qi] = p if pvalid[qi] else -1
+
+        if pvalid.sum() < 24:
+            return None, None, None
+        ind = ba_mod.IndirectFactors(
+            uv=jnp.asarray(uv_a),
+            host=jnp.asarray(host),
+            idepth=jnp.asarray(rho),
+            point_valid=jnp.asarray(pvalid),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_valid=jnp.asarray(obs_valid),
+            sigma2=jnp.asarray(sigma2),
+        )
+        return ind, host, map_slots
+
+    def _run_mixed_window_ba(self):
+        """MOD-SLAM mixed BA: joint photometric + reprojection solve over the
+        direct window (reference: addIndirectToProblem,
+        DSOBundleAdjustment.cpp:2674-2700), then write optimized poses into
+        the trajectory path and re-anchored map points back into the arena."""
+        ind, host, map_slots = self._build_mixed_factors()
+        if ind is None:
+            return
+        w = self._window
+        new_ba, new_ind, E = _run_mixed_ba(
+            w.ba, w.images, self.cam, self.cfg, ind
+        )
+        if not np.isfinite(float(E)):
+            return
+        self._window = w.replace(ba=new_ba)
+        self._sync_kf_poses()
+        # latest keyframe may have moved: keep tracking continuity
+        self._T_curr = self._kf_T
+        self._rebuild_tracker_ref()
+
+        # write refined points back: X_w = R_h^T (unproject(uv, rho) - t_h)
+        ok = np.asarray(new_ind.point_valid) & (map_slots >= 0)
+        if ok.any():
+            R = np.asarray(new_ba.T.R)
+            t = np.asarray(new_ba.T.t)
+            Xh = np.asarray(
+                self.cam.unproject(new_ind.uv, new_ind.idepth)
+            )
+            hs = host[ok]
+            Xw = np.einsum("qji,qj->qi", R[hs], Xh[ok] - t[hs])
+            self._pt_Xw[map_slots[ok]] = Xw.astype(np.float32)
+            mids = self._pt_mapid[map_slots[ok]]
+            self.map.p_xyz[mids[mids >= 0]] = Xw[mids >= 0]
+            self._map_dev = None
+        # refresh the indirect keyframe ring's poses from the window so the
+        # next local BA starts consistent
+        fids = np.asarray(w.frame_id)
+        fvalid = np.asarray(new_ba.frame_valid)
+        slot_of = {
+            int(fids[s]): s for s in range(len(fids))
+            if fvalid[s] and fids[s] >= 0
+        }
+        R = np.asarray(new_ba.T.R)
+        t = np.asarray(new_ba.T.t)
+        for k in self._ind_kfs:
+            s = slot_of.get(int(k["kf_id"]))
+            if s is not None:
+                k["T_R"], k["T_t"] = R[s], t[s]
+
+    def _select_local_keyframes(self) -> list[dict]:
+        """Covisibility-driven local keyframe selection: the newest indirect
+        keyframe plus the KF_RING-1 history keyframes sharing the most map
+        points with it (reference: indirectUpdateLocalKeyFrames,
+        Tracking.cpp:527 — covisibility expansion instead of a flat
+        recency window)."""
+        if not self._ind_kfs:
+            return []
+        newest = self._ind_kfs[-1]
+        ref_ids = set(newest["obs_mapid"][newest["obs_mapid"] >= 0].tolist())
+        scored = []
+        for k in self._ind_kfs[:-1]:
+            ids = k["obs_mapid"][k["obs_mapid"] >= 0]
+            shared = len(ref_ids.intersection(ids.tolist()))
+            if shared >= 10:
+                scored.append((shared, k))
+        scored.sort(key=lambda x: -x[0])
+        sel = [k for _, k in scored[: KF_RING - 1]] + [newest]
+        sel.sort(key=lambda k: k["frame"])   # chronological for fixed-frame 0
+        return sel
+
     def _run_indirect_local_ba(self, move_poses: bool = False):
-        """Assemble the fixed-capacity local-BA problem from the KF ring and
-        run it; write optimized poses/points back (reference:
+        """Assemble the fixed-capacity local-BA problem from the
+        covisibility-selected keyframes and run it; write optimized
+        poses/points back (reference:
         IndirectBundleAdjustment::localOptimize + setCameraAndDeform)."""
-        kfs = self._ind_kfs
+        kfs = self._select_local_keyframes()
+        if len(kfs) < 3:
+            return
         M = len(kfs)
         # drop observations whose arena slot was recycled since the keyframe
         # recorded them (generation mismatch) or whose point died — stale
@@ -417,6 +701,8 @@ class HybridOdometry(DirectOdometry):
         if not np.isfinite(Xw_new).all():
             return
         self._pt_Xw[used_pts] = Xw_new
+        mids = self._pt_mapid[used_pts]
+        self.map.p_xyz[mids[mids >= 0]] = Xw_new[mids >= 0]
         self._map_dev = None
         R_new = np.asarray(out.T.R)
         t_new = np.asarray(out.T.t)

@@ -53,7 +53,14 @@ from libcml_tpu.models.direct.tracker import (
     track,
     track_multi,
 )
-from libcml_tpu.ops.image import bilinear, build_gradient_pyramid
+from libcml_tpu.core.camera import Calibration
+from libcml_tpu.ops.image import (
+    apply_photometric,
+    bilinear,
+    build_gradient_pyramid,
+    remap_image,
+)
+from libcml_tpu.map.map import SlamMap
 from libcml_tpu.runtime.stats import StatsSheet
 from libcml_tpu.utils import logging as log
 
@@ -66,6 +73,19 @@ from libcml_tpu.utils import logging as log
 @functools.partial(jax.jit, static_argnames=("num_levels",))
 def _preprocess(image: jax.Array, num_levels: int):
     return build_gradient_pyramid(image, num_levels)
+
+
+@functools.partial(jax.jit, static_argnames=("num_levels",))
+def _preprocess_rect(image: jax.Array, remap, gamma, vignette, num_levels: int):
+    """Photometric correction (gamma response inversion + vignette divide,
+    both in RAW pixel space) then geometric rectification (one gather through
+    the precomputed remap grid), then the gradient pyramid — one fused device
+    program per frame (reference: TUMCapture.cpp:19-131 photometric prep +
+    InternalCalibration.h:342 undistort-map application)."""
+    img = apply_photometric(image, gamma, vignette)
+    if remap is not None:
+        img = remap_image(img, remap)
+    return img, build_gradient_pyramid(img, num_levels)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -223,8 +243,16 @@ class DirectOdometry:
         poses = odo.trajectory_c2w()
     """
 
-    def __init__(self, cam: PinholeCamera, cfg: DirectConfig | None = None,
-                 depth_prior=None):
+    def __init__(self, cam: PinholeCamera | Calibration,
+                 cfg: DirectConfig | None = None, depth_prior=None):
+        # a full Calibration carries the rectification remap + photometric
+        # response/vignette, applied on device to every incoming frame; a
+        # bare PinholeCamera means frames arrive already ideal
+        if isinstance(cam, Calibration):
+            self.calib: Calibration | None = cam
+            cam = cam.pinhole
+        else:
+            self.calib = None
         self.cam = cam
         self.cfg = cfg or DirectConfig()
         # optional neural inverse-depth prior for initialization
@@ -253,50 +281,108 @@ class DirectOdometry:
         self._T_prev = SE3.identity()
         self._T_curr = SE3.identity()
 
-        # trajectory bookkeeping: frame -> (timestamp, kf_id, T_rel f<-kf)
-        self._records: list[tuple[float, int, np.ndarray, np.ndarray]] = []
-        # kf_id -> latest known world->cam pose (4x4 np), frozen at marg time
-        self._kf_poses: dict[int, np.ndarray] = {}
+        # system-of-record map (reference: Map.h:31 — frames, points,
+        # groups, covisibility, GT error, export all live here): every
+        # processed frame becomes a map frame; non-keyframes store their
+        # pose RELATIVE to their reference keyframe (the deform graph),
+        # keyframes hold absolute poses refreshed from the window BA
+        self.map = SlamMap()
+        self._fid2map: dict[int, int] = {}   # frame_idx -> map frame index
+        self._cur_gt: np.ndarray | None = None
         self.stats: list[dict] = []
         # per-phase timers + named statistic streams (reference:
         # StatisticTimer/StatisticsSheet, Statistic.h:97,123 — ~35 named
         # stats across modules; surfaced via sheet.to_csv / STAT lines)
         self.sheet = StatsSheet()
         self._track_fails = 0
+        # failure handling: segment restarts anchored at the last pose
+        # (reference: restartOrStop, Hybrid.cpp:214-222) — trajectory keeps
+        # one records list across segments; each segment's poses compose
+        # with its anchor keyframe
+        self.segments = 0
+        self.stopped = False
+        self._anchor_kf = 0
+        self._restart_anchor = SE3.identity()
 
     # -- helpers ------------------------------------------------------------
 
     def _record(self, ts: float, kf_id: int, T_rel: SE3):
-        self._records.append(
-            (ts, kf_id, np.asarray(T_rel.R), np.asarray(T_rel.t))
-        )
+        """Record the current frame's pose in the map, relative to keyframe
+        `kf_id`. Re-recording the same frame (keyframe promotion, restart
+        anchoring) updates its map entry in place."""
+        M = np.eye(4)
+        M[:3, :3] = np.asarray(T_rel.R)
+        M[:3, 3] = np.asarray(T_rel.t)
+        ref = self._fid2map.get(kf_id, -1)
+        existing = self._fid2map.get(self.frame_idx)
+        if existing is not None:
+            self.map.set_pose(existing, M, ref)
+        else:
+            idx = self.map.add_frame(ts, M, ref_frame=ref,
+                                     gt_c2w=self._cur_gt)
+            self._fid2map[self.frame_idx] = idx
+
+    def _set_abs_pose(self, frame_idx: int, T: SE3, keyframe: bool = False):
+        """Write an ABSOLUTE pose for a frame's map entry (keyframes and
+        segment anchors — the roots of deform chains)."""
+        i = self._fid2map.get(frame_idx)
+        if i is None:
+            return
+        M = np.eye(4)
+        M[:3, :3] = np.asarray(T.R)
+        M[:3, 3] = np.asarray(T.t)
+        self.map.set_pose(i, M, -1)
+        if keyframe:
+            self.map.set_keyframe(i)
 
     def _sync_kf_poses(self):
-        """Pull optimized keyframe poses out of the window (host copies)."""
+        """Pull optimized keyframe poses out of the window into the map
+        (deform-anchored frames follow automatically on read)."""
         w = self._window
         fids = np.asarray(w.frame_id)
         valid = np.asarray(w.ba.frame_valid)
         R = np.asarray(w.ba.T.R)
         t = np.asarray(w.ba.T.t)
+        kf_bit = self.map.groups.frame_group("DIRECTKEYFRAME")
         for s in range(len(fids)):
             if valid[s] and fids[s] >= 0:
+                i = self._fid2map.get(int(fids[s]))
+                if i is None:
+                    continue
                 M = np.eye(4)
                 M[:3, :3] = R[s]
                 M[:3, 3] = t[s]
-                self._kf_poses[int(fids[s])] = M
+                self.map.set_pose(i, M, -1)
+                self.map.set_keyframe(i)
+                self.map.f_group[i] |= np.uint32(kf_bit)
         # refresh the latest-KF pose used for composing tracked poses
         s = self._kf_slot
         self._kf_T = SE3(R=jnp.asarray(R[s]), t=jnp.asarray(t[s]))
 
     # -- main entry ----------------------------------------------------------
 
-    def process(self, image, timestamp: float) -> dict:
-        """Feed one grayscale frame (H, W) in ~[0, 255]. Returns a stats dict."""
+    def process(self, image, timestamp: float,
+                gt_pose_c2w: np.ndarray | None = None) -> dict:
+        """Feed one grayscale frame (H, W) in ~[0, 255]. Returns a stats
+        dict. `gt_pose_c2w` (4, 4), when available, is stored in the map and
+        feeds the live ATE/RPE (reference: Map::refreshErrorFromGroundtruth,
+        Map.cpp:578)."""
         self.frame_idx += 1
         log.set_frame(self.frame_idx)
+        self._cur_gt = gt_pose_c2w
         img = jnp.asarray(image, jnp.float32)
         with self.sheet.timer("time_preprocess").frame(self.frame_idx):
-            pyr = _preprocess(img, self.cfg.num_levels)
+            c = self.calib
+            if c is not None and (c.remap is not None or c.gamma is not None
+                                  or c.vignette is not None):
+                img, pyr = _preprocess_rect(
+                    img, c.remap, c.gamma, c.vignette, self.cfg.num_levels
+                )
+            else:
+                pyr = _preprocess(img, self.cfg.num_levels)
+
+        if self.stopped:
+            return {"state": "STOPPED"}
 
         if self.state == "INIT_FIRST":
             prior = None
@@ -310,9 +396,15 @@ class DirectOdometry:
             self._first_pyr = pyr
             self._first_ts = timestamp
             self.state = "INIT"
-            self._record(timestamp, 0, SE3.identity())
-            self._kf_poses[0] = np.eye(4)
+            self._anchor_kf = self.frame_idx
+            self._record(timestamp, self._anchor_kf, SE3.identity())
+            self._set_abs_pose(self._anchor_kf, self._restart_anchor)
             return {"state": self.state}
+
+        if self.state == "LOST":
+            out = self._process_lost(pyr, timestamp)
+            self.stats.append(out)
+            return out
 
         if self.state == "INIT":
             res = _try_init(self._init_state, pyr, self.cam, self.cfg)
@@ -322,7 +414,7 @@ class DirectOdometry:
                 self.state = "TRACKING"
             else:
                 # provisional pose straight from the initializer estimate
-                self._record(timestamp, 0, res.state.T)
+                self._record(timestamp, self._anchor_kf, res.state.T)
             return {"state": self.state, "init_energy": float(res.energy)}
 
         return self._track_frame(pyr, img, timestamp)
@@ -333,16 +425,20 @@ class DirectOdometry:
         cfg, cam = self.cfg, self.cam
         ist, _scale = normalize_scale(self._init_state)
 
+        anchor = self._restart_anchor
         window = win_mod.empty_window(cfg, cam.height, cam.width)
-        # KF0 at identity
+        # KF0 at the segment anchor (identity on the first segment; the
+        # carried-over world pose after a restart/relocalization)
         window, slot0 = win_mod.add_keyframe(
-            window, self._first_pyr[0], SE3.identity(),
-            jnp.zeros(2, jnp.float32), jnp.asarray(0, jnp.int32),
+            window, self._first_pyr[0], anchor,
+            jnp.zeros(2, jnp.float32),
+            jnp.asarray(self._anchor_kf, jnp.int32),
         )
         window = window.replace(ba=ba_mod.anchor_first_frame(window.ba, 0, cfg))
-        # KF1 at the initializer pose
+        # KF1 at the initializer pose (relative to KF0)
         window, slot1 = win_mod.add_keyframe(
-            window, pyr[0], ist.T, ist.ab, jnp.asarray(self.frame_idx, jnp.int32),
+            window, pyr[0], ist.T.compose(anchor), ist.ab,
+            jnp.asarray(self.frame_idx, jnp.int32),
         )
         # activate the initializer's points, hosted in slot0
         v0 = ist.valid[0]
@@ -369,6 +465,7 @@ class DirectOdometry:
         self._T_prev = self._kf_T
         self._T_curr = self._kf_T
         self._record(timestamp, self._kf_id, SE3.identity())
+        self._set_abs_pose(self._kf_id, self._kf_T, keyframe=True)
         self._frames_since_kf = 0
 
     def _rebuild_tracker_ref(self):
@@ -398,8 +495,16 @@ class DirectOdometry:
                                jnp.zeros(2, jnp.float32), cfg)
 
         num_valid = int(res.num_valid)
-        pose_ok = num_valid >= 24 and bool(
-            np.all(np.isfinite(np.asarray(res.T_ji.t)))
+        # failure = too few geometrically valid points, a non-finite pose,
+        # or photometric saturation (most residuals past the outlier energy
+        # — a blackout / violent exposure change keeps points in-bounds, so
+        # the count alone cannot catch it; reference: the tracker-residual
+        # criteria feeding the failure counter, Hybrid.cpp:214-222)
+        pose_ok = (
+            num_valid >= 24
+            and bool(np.all(np.isfinite(np.asarray(res.T_ji.t))))
+            and bool(np.all(np.isfinite(np.asarray(res.T_ji.R))))
+            and float(res.saturated) < cfg.fail_saturated
         )
         if pose_ok:
             T_world = res.T_ji.compose(self._kf_T)
@@ -412,6 +517,14 @@ class DirectOdometry:
             self._track_fails += 1
             log.warn("direct tracking failed (%d valid points, fail #%d)",
                      num_valid, self._track_fails)
+            if self._track_fails >= cfg.max_track_fails:
+                self._T_prev = self._T_curr
+                self._T_curr = T_world
+                self._record(timestamp, self._kf_id,
+                             T_world.compose(self._kf_T.inverse()))
+                out = self._on_tracking_lost(pyr, timestamp)
+                self.stats.append(out)
+                return out
         self._T_prev = self._T_curr
         self._T_curr = T_world
         self._record(timestamp, self._kf_id,
@@ -452,6 +565,76 @@ class DirectOdometry:
             self.sheet.push(k, self.frame_idx, out[k])
         self.stats.append(out)
         return out
+
+    # -- failure handling -----------------------------------------------------
+
+    def _on_tracking_lost(self, pyr, timestamp) -> dict:
+        """Consecutive-failure limit hit: try relocalization (subclasses);
+        else enter LOST and keep retrying for a grace window before a blind
+        restart or stop (reference: restartOrStop AbstractSlam.cpp:98-104 —
+        restart while young, stop when mature; a library runtime defaults
+        to restarting; the grace window gives BoW relocalization its
+        chance once good frames return)."""
+        if self._attempt_relocalization(pyr, timestamp):
+            log.important("relocalized at frame %d", self.frame_idx)
+            return {"state": self.state, "ok": True, "relocalized": True,
+                    "kf": False}
+        if self.cfg.stop_on_lost:
+            log.important("tracking lost at frame %d: stopping", self.frame_idx)
+            self.stopped = True
+            return {"state": "STOPPED", "ok": False, "kf": False}
+        log.important("tracking lost at frame %d: entering LOST",
+                      self.frame_idx)
+        self.state = "LOST"
+        self._lost_frames = 0
+        return {"state": "LOST", "ok": False, "kf": False}
+
+    def _process_lost(self, pyr, timestamp) -> dict:
+        """One frame in the LOST state: hold the last pose (no constant-
+        velocity hallucination), retry relocalization, restart after the
+        grace window."""
+        self._record(timestamp, self._kf_id,
+                     self._T_curr.compose(self._kf_T.inverse()))
+        if self._attempt_relocalization(pyr, timestamp):
+            log.important("relocalized at frame %d", self.frame_idx)
+            return {"state": self.state, "ok": True, "relocalized": True,
+                    "kf": False}
+        self._lost_frames += 1
+        if self._lost_frames >= self.cfg.lost_grace_frames:
+            self._restart_segment(pyr, timestamp, self._T_curr)
+            return {"state": self.state, "ok": False, "kf": False,
+                    "restarted": True}
+        return {"state": "LOST", "ok": False, "kf": False}
+
+    def _attempt_relocalization(self, pyr, timestamp) -> bool:
+        """No relocalization machinery in the direct-only runtime (the
+        hybrid overrides this with BoW retrieval + EPnP)."""
+        return False
+
+    def _restart_segment(self, pyr, timestamp, anchor: SE3):
+        """Restart the map in a fresh segment anchored at `anchor`: the
+        current frame becomes the new first frame; the trajectory records
+        continue seamlessly (composed through the anchor keyframe)."""
+        self.segments += 1
+        log.important("restarting map: segment %d anchored at frame %d",
+                      self.segments, self.frame_idx)
+        cfg = self.cfg
+        self._window = None
+        self._tracker_ref = None
+        self._immature = empty_immatures(cfg.max_frames, cfg.points_per_kf)
+        self._init_state = set_first(pyr, self.cam, cfg)
+        self._first_pyr = pyr
+        self._first_ts = timestamp
+        self.state = "INIT"
+        self._track_fails = 0
+        self._frames_since_kf = 0
+        self._restart_anchor = anchor
+        self._anchor_kf = self.frame_idx
+        self._kf_id = self.frame_idx
+        self._T_prev = anchor
+        self._T_curr = anchor
+        # this frame becomes the segment anchor: absolute pose in the map
+        self._set_abs_pose(self.frame_idx, anchor)
 
     def _make_keyframe(self, pyr, res: TrackResult, timestamp):
         cfg, cam = self.cfg, self.cam
@@ -513,26 +696,28 @@ class DirectOdometry:
             self._immature, jnp.asarray(self._kf_slot), pyr[0],
             rho_lo, rho_hi, cfg,
         )
-        # rewrite this frame's record to be keyframe-anchored at identity
-        self._records[-1] = (
-            timestamp, self._kf_id,
-            np.asarray(SE3.identity().R), np.asarray(SE3.identity().t),
-        )
+        # this frame's map entry became a keyframe: _sync_kf_poses above
+        # already wrote its absolute optimized pose + KEYFRAME group
 
     # -- outputs ---------------------------------------------------------------
 
     def trajectory_c2w(self) -> tuple[np.ndarray, np.ndarray]:
-        """(timestamps (N,), poses (N, 4, 4) camera-to-world), deform-composed
-        with the final optimized keyframe poses."""
+        """(timestamps (N,), poses (N, 4, 4) camera-to-world) from the map
+        (deform-composed with the final optimized keyframe poses)."""
         if self._window is not None:
             self._sync_kf_poses()
-        ts, poses = [], []
-        for t, kf_id, R_rel, t_rel in self._records:
-            kf = self._kf_poses.get(kf_id, np.eye(4))
-            M = np.eye(4)
-            M[:3, :3] = R_rel
-            M[:3, 3] = t_rel
-            w2c = M @ kf
-            poses.append(np.linalg.inv(w2c))
-            ts.append(t)
-        return np.asarray(ts), np.asarray(poses)
+        return self.map.trajectory_c2w()
+
+    def live_error(self) -> dict | None:
+        """Scale-corrected ATE/RPE against stored groundtruth, from the map
+        (reference: Map::refreshErrorFromGroundtruth, Map.cpp:578)."""
+        if self._window is not None:
+            self._sync_kf_poses()
+        return self.map.refresh_error_from_groundtruth()
+
+    def export_results(self, out_dir: str, prefix: str = "result"):
+        """Five-file trajectory export via the map (reference:
+        Map::exportResults, modslam.cpp:393-410)."""
+        if self._window is not None:
+            self._sync_kf_poses()
+        self.map.export_results(out_dir, prefix)

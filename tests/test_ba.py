@@ -12,9 +12,12 @@ from libcml_tpu.core.lie import SE3, se3_exp
 from libcml_tpu.data.synthetic import SyntheticScene, forward_trajectory
 from libcml_tpu.models.direct.ba import (
     anchor_first_frame,
+    empty_indirect,
+    indirect_energy,
     marginalize_frame,
     refresh_fej,
     run_ba,
+    run_ba_mixed,
     total_energy,
 )
 from libcml_tpu.models.direct.config import DirectConfig
@@ -111,6 +114,94 @@ def test_ba_refines_noisy_depth():
     e1 = depth_err(ba)
     assert np.median(e1) < 0.5 * np.median(e0), (
         f"median idepth err {np.median(e0):.4f} -> {np.median(e1):.4f}"
+    )
+
+
+def _build_indirect_factors(window, gt, Q=96, idepth_noise=0.0, px_noise=0.3,
+                            seed=7):
+    """GT-derived reprojection factors: Q points anchored in slot 0 with
+    (noisy) GT inverse depth, observed at (noisy) GT projections in every
+    other window slot."""
+    rng = np.random.default_rng(seed)
+    scene_idep = gt[0][1]
+    grad0 = window.images[0]
+    uv, valid, _ = select_points(grad0, Q)
+    uvi = np.asarray(uv).astype(int)
+    rho_gt = scene_idep[np.clip(uvi[:, 1], 0, CAM.height - 1),
+                        np.clip(uvi[:, 0], 0, CAM.width - 1)]
+    ok = np.asarray(valid) & (rho_gt > 1e-3)
+
+    T0_gt = gt[0][0]
+    X0 = np.asarray(CAM.unproject(uv, jnp.asarray(rho_gt, jnp.float32)))
+    R0 = np.asarray(T0_gt.R)
+    t0 = np.asarray(T0_gt.t)
+    Xw = (X0 - t0) @ R0                           # R0^T (X0 - t0)
+
+    F = window.ba.num_frames
+    obs_uv = np.zeros((Q, F, 2), np.float32)
+    obs_valid = np.zeros((Q, F), bool)
+    for n in range(1, len(gt)):
+        Tn = gt[n][0]
+        Xn = Xw @ np.asarray(Tn.R).T + np.asarray(Tn.t)
+        pred, z_ok = CAM.project(jnp.asarray(Xn, jnp.float32))
+        pred = np.asarray(pred) + rng.normal(0, px_noise, (Q, 2))
+        inb = np.asarray(CAM.in_bounds(jnp.asarray(pred), border=2.0))
+        obs_uv[:, n] = pred
+        obs_valid[:, n] = ok & np.asarray(z_ok) & inb & (Xn[:, 2] > 0.05)
+
+    rho = rho_gt * (1.0 + rng.normal(0, idepth_noise, rho_gt.shape)) \
+        if idepth_noise else rho_gt
+    ind = empty_indirect(Q, F)
+    return ind.replace(
+        uv=jnp.asarray(uv),
+        host=jnp.zeros((Q,), jnp.int32),
+        idepth=jnp.asarray(rho, jnp.float32),
+        point_valid=jnp.asarray(ok & (obs_valid.sum(1) >= 1)),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_valid=jnp.asarray(obs_valid),
+        sigma2=jnp.ones((Q, F), jnp.float32),
+    ), rho_gt, ok
+
+
+def test_mixed_ba_consistent_with_photometric_when_empty():
+    """All-invalid indirect factors: run_ba_mixed must match run_ba."""
+    window, gt = _build_window(pose_noise=0.004, seed=1)
+    ind0 = empty_indirect(32, window.ba.num_frames)
+    ba_a, E_a = run_ba(window.ba, window.images, CAM, CFG)
+    ba_b, _, E_b = run_ba_mixed(window.ba, window.images, CAM, CFG, ind0)
+    assert np.allclose(float(E_a), float(E_b), rtol=1e-5)
+    assert np.allclose(np.asarray(ba_a.T.t), np.asarray(ba_b.T.t), atol=1e-5)
+
+
+def test_mixed_ba_recovers_poses_and_idepth():
+    """Joint solve: reprojection factors must not degrade photometric pose
+    recovery, must shrink their own residual energy, and must pull noisy
+    indirect idepths toward ground truth (the mixed-BA value proposition —
+    reference: addIndirectToProblem, DSOBundleAdjustment.cpp:2674)."""
+    window, gt = _build_window(pose_noise=0.004, seed=1)
+    ind, rho_gt, ok = _build_indirect_factors(
+        window, gt, idepth_noise=0.08, seed=7
+    )
+
+    E_ind0 = float(indirect_energy(window.ba, ind, CAM, CFG))
+
+    ba_p, _ = run_ba(window.ba, window.images, CAM, CFG)
+    r_p, t_p = _pose_errors(ba_p, gt)
+
+    ba_m, ind_m, E = run_ba_mixed(window.ba, window.images, CAM, CFG, ind)
+    r_m, t_m = _pose_errors(ba_m, gt)
+    E_ind1 = float(indirect_energy(ba_m, ind_m, CAM, CFG))
+
+    assert np.isfinite(float(E))
+    assert r_m.max() < 0.1
+    assert t_m.max() < 1.2 * t_p.max() + 1e-4, f"trans {t_p} -> {t_m}"
+    assert E_ind1 < 0.5 * E_ind0, f"reproj energy {E_ind0:.1f} -> {E_ind1:.1f}"
+
+    sel = np.asarray(ind.point_valid)
+    e0 = np.abs(np.asarray(ind.idepth)[sel] / rho_gt[sel] - 1.0)
+    e1 = np.abs(np.asarray(ind_m.idepth)[sel] / rho_gt[sel] - 1.0)
+    assert np.median(e1) < 0.6 * np.median(e0), (
+        f"indirect idepth err {np.median(e0):.4f} -> {np.median(e1):.4f}"
     )
 
 

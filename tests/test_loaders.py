@@ -133,6 +133,30 @@ def test_stereopolis_zip(tmp_path):
     assert np.all(f[0].image[:, :5] == 0.0)   # mask applied
 
 
+def test_tum_zip_layout(tmp_path):
+    """Zipped TUM-mono sequence read directly from images.zip (reference:
+    TUMCapture zip archive path)."""
+    import io
+
+    (tmp_path / "times.txt").write_text(
+        "\n".join(f"{i:05d} {i * 0.05:.3f} 10.0" for i in range(3)) + "\n"
+    )
+    (tmp_path / "camera.txt").write_text(
+        "0.5 0.6 0.5 0.5 0.9\n40 32\ncrop\n40 32\n"
+    )
+    with zipfile.ZipFile(tmp_path / "images.zip", "w") as zf:
+        for i in range(3):
+            buf = io.BytesIO()
+            Image.fromarray(_img(i), mode="L").save(buf, format="PNG")
+            zf.writestr(f"{i:05d}.png", buf.getvalue())
+    cap = load_dataset(str(tmp_path))
+    assert len(cap) == 3
+    assert cap.calibration.remap is not None  # FOV omega=0.9
+    f = list(cap.frames())
+    assert f[1].image.shape == (32, 40)
+    assert f[1].exposure == pytest.approx(10.0)
+
+
 def test_unknown_layout_raises(tmp_path):
     (tmp_path / "whatever.txt").write_text("x")
     with pytest.raises(ValueError):
