@@ -98,10 +98,12 @@ def run(n_frames: int = 200, mode: str = "direct", mixed: bool = True,
     poses = corridor_trajectory(n_frames)
 
     if mode == "hybrid":
+        import dataclasses
+
         from libcml_tpu.runtime.hybrid import HybridOdometry
 
-        cfg = cfg if mixed else type(cfg)(
-            **{**cfg.__dict__, "mixed_ba": False}
+        cfg = dataclasses.replace(
+            cfg, mixed_ba=mixed, mixed_always=mixed
         )
         odo = HybridOdometry(cam, cfg, orb_budget=192, orb_levels=2)
     else:

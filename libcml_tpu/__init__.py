@@ -17,11 +17,32 @@ Subpackages:
   utils     — logging, timers
 """
 
+import os as _os
+
 import jax as _jax
 
 # SLAM numerics (pose composition, Hessian assembly, Schur solves) need true
 # f32 matmuls; the default bf16-ish matmul precision silently corrupts small
 # 3x3/6x6 products. Hot kernels opt into lower precision explicitly.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache: the windowed-BA program at production scale
+# takes minutes to compile through the TPU tunnel; caching makes every
+# process after the first start instantly. Opt out with
+# LIBCML_TPU_NO_COMPILE_CACHE=1. CPU-only runs skip it: XLA:CPU AOT entries
+# bake in machine features and reloading them can SIGILL on a different
+# (or differently-detected) host.
+if not _os.environ.get("LIBCML_TPU_NO_COMPILE_CACHE") and \
+        not _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    _cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "libcml_tpu_xla"),
+    )
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 __version__ = "0.1.0"

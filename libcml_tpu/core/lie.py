@@ -189,6 +189,25 @@ class SE3:
         src/cml/map/Camera.h). self.to(other) = self ∘ other^-1."""
         return self.compose(other.inverse())
 
+    def normalized(self) -> "SE3":
+        """Project R back onto SO(3) (nearest rotation by SVD).
+
+        Load-bearing for any pose fed back through itself: the constant-
+        velocity model pred = curr ∘ prev^-1 ∘ curr SQUARES the pose, which
+        doubles R's orthonormality defect every frame — f32's ~1e-7 per
+        compose grows exponentially and det(R) visibly collapses within a
+        few dozen frames (the inverse() of a non-orthonormal R then no
+        longer inverts, and everything downstream is silently wrong). One
+        3x3 SVD per use is noise-level cost."""
+        U, _, Vt = jnp.linalg.svd(self.R)
+        d = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", U, Vt))
+        fix = jnp.concatenate(
+            [jnp.ones_like(d[..., None]), jnp.ones_like(d[..., None]),
+             d[..., None]], axis=-1,
+        )
+        R = jnp.einsum("...ij,...j,...jk->...ik", U, fix, Vt)
+        return SE3(R=R, t=self.t)
+
     def matrix34(self) -> jax.Array:
         return jnp.concatenate([self.R, self.t[..., None]], axis=-1)
 

@@ -37,6 +37,8 @@ State layout (all static shapes; F = frame slots, P = point slots):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -922,6 +924,33 @@ def marginalize_frame(
     return state.replace(H_m=H_m_fix, b_m=b_m_fix)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _marg_pieces(state: BAState, images: jax.Array, cam: PinholeCamera,
+                 cfg: DirectConfig, slot: jax.Array):
+    """Device half of f64 marginalization: linearize the points hosted in
+    `slot`, FEJ-shift the residuals, and CONTRACT the (P, F, 8, ...) arrays
+    down to the small normal-equation pieces. Only ~P*(D+2)+D^2 floats cross
+    the device->host boundary (~0.5 MB) instead of the raw Jacobian tensors
+    (~150 MB — which took ~90 s through the TPU tunnel). The contraction is
+    same-sign accumulation, benign in f32; the cancellation-sensitive Schur
+    algebra stays on host in f64."""
+    hosted = state.point_valid & (state.host == slot)
+    marg_state = state.replace(point_valid=hosted)
+    lin = linearize(marg_state, images, cam, cfg)
+    d_t = state.delta[None, :, None, :]
+    d_h = state.delta[state.host][:, None, None, :]
+    d_rho = (state.idepth - state.idepth_fej)[:, None, None]
+    r0 = (
+        lin.r
+        - jnp.sum(lin.J_t * d_t, axis=-1)
+        - jnp.sum(lin.J_h * d_h, axis=-1)
+        - lin.J_rho * d_rho
+    )
+    H_pts, b_pts, H_rho, b_rho, H_xr = _assemble(lin, marg_state, cfg,
+                                                 r_shift=r0)
+    return H_pts, b_pts, H_rho, b_rho, H_xr, hosted
+
+
 def marginalize_frame_f64(
     state: BAState,
     images: jax.Array,
@@ -939,58 +968,23 @@ def marginalize_frame_f64(
     monocular SCALE once the anchored first frame is gone), producing ~10%%
     scale drift per marginalization. The reference runs this math in double
     (scalar_t = double, types.h:365); we do the same where it matters while
-    keeping every hot loop f32/TPU-resident. The device linearization (r, w,
-    J) is ~1 MB once per keyframe — negligible transfer."""
+    keeping every hot loop f32/TPU-resident (see _marg_pieces for the
+    device/host split)."""
     F, P = state.num_frames, state.num_points
     D = F * _D
     slot = int(slot)
 
-    # device: one linearization sweep restricted to hosted points
-    hosted_j = state.point_valid & (state.host == slot)
-    lin = linearize(state.replace(point_valid=hosted_j), images, cam, cfg)
+    pieces = _marg_pieces(state, images, cam, cfg, jnp.asarray(slot))
 
     import numpy as np
 
-    r = np.asarray(lin.r, np.float64)
-    w = np.asarray(lin.w, np.float64)
-    J_t = np.asarray(lin.J_t, np.float64)
-    J_h = np.asarray(lin.J_h, np.float64)
-    J_rho = np.asarray(lin.J_rho, np.float64)
+    H_pts, b_pts, H_rho, b_rho, H_xr, hosted_j = (
+        np.asarray(x, np.float64) if x.dtype != bool else np.asarray(x)
+        for x in pieces
+    )
+    hosted = hosted_j
     delta = np.asarray(state.delta, np.float64)        # (F, 8)
-    host = np.asarray(state.host)
-    hosted = np.asarray(hosted_j)
-    idepth = np.asarray(state.idepth, np.float64)
-    idepth_fej = np.asarray(state.idepth_fej, np.float64)
     ab_fej = np.asarray(state.ab_fej, np.float64)
-
-    # FEJ shift r0 = r - J_t d_t - J_h d_h - J_rho d_rho (res_toZeroF)
-    d_t = delta[None, :, None, :]
-    d_h = delta[host][:, None, None, :]
-    d_rho = (idepth - idepth_fej)[:, None, None]
-    r0 = (r - np.sum(J_t * d_t, -1) - np.sum(J_h * d_h, -1) - J_rho * d_rho)
-
-    # fold hosted-point photometric info (einsum mirror of _assemble)
-    onehot = np.zeros((P, F)); onehot[np.arange(P), host] = 1.0
-    Jt_w = J_t * w[..., None]
-    Jh_w = J_h * w[..., None]
-    H_tt = np.einsum("pfkd,pfke->fde", Jt_w, J_t)
-    H_hh = np.einsum("pfkd,pfke,ph->hde", Jh_w, J_h, onehot)
-    H_th = np.einsum("pfkd,pfke,ph->fhde", Jt_w, J_h, onehot)
-    b_t = np.einsum("pfkd,pfk->fd", Jt_w, r0)
-    b_h = np.einsum("pfkd,pfk,ph->hd", Jh_w, r0, onehot)
-    Hfull = H_th + np.transpose(H_th, (1, 0, 3, 2))
-    Hfull[np.arange(F), np.arange(F)] += H_tt + H_hh
-    H_pts = np.transpose(Hfull, (0, 2, 1, 3)).reshape(D, D)
-    b_pts = (b_t + b_h).reshape(D)
-    Jr_w = J_rho * w
-    H_rho = np.einsum("pfk,pfk->p", Jr_w, J_rho)
-    b_rho = np.einsum("pfk,pfk->p", Jr_w, r0)
-    Hx_t = np.einsum("pfkd,pfk->pfd", Jt_w, J_rho).reshape(P, D)
-    Hx_h = np.einsum("pfkd,pfk->pd", Jh_w, J_rho)
-    H_xr = Hx_t.copy()
-    for p in range(P):
-        if hosted[p]:
-            H_xr[p, host[p] * _D : host[p] * _D + _D] += Hx_h[p]
 
     scale = np.where(hosted, 1.0 / np.where(hosted, H_rho + 1e-12, 1.0), 0.0)
     H_add = H_pts - (H_xr * scale[:, None]).T @ H_xr

@@ -57,6 +57,10 @@ class DirectConfig:
     # mixed bundle adjustment (MOD-SLAM's joint photometric + reprojection
     # window solve; reference: DSOBundleAdjustment.h:161 addIndirectToProblem)
     mixed_ba: bool = True
+    mixed_always: bool = False    # fire at every indirect keyframe instead
+                                  # of only under a BAINDIRECT decision
+                                  # (reference: enableHybridPoint standing
+                                  # mode vs bacond* gating)
     mixed_points: int = 256       # indirect-factor capacity in the window
     mixed_weight: float = 10.0    # information scale of reprojection terms
                                   # relative to photometric units (the
@@ -96,8 +100,10 @@ class DirectConfig:
     # failure handling (reference: Hybrid.cpp:214-222 tracking-failure
     # counter -> restartOrStop, AbstractSlam.cpp:98-104)
     max_track_fails: int = 3      # consecutive failures before recovery
-    fail_saturated: float = 0.7   # saturated-residual ratio above which a
-                                  # track counts as failed
+    fail_saturated: float = 0.45  # saturated-residual ratio above which a
+                                  # track counts as failed (reference:
+                                  # dsoTracker.saturatedThreshold: 0.45,
+                                  # evaluation/modslam.yaml)
     lost_grace_frames: int = 8    # frames spent in LOST retrying
                                   # relocalization before a blind restart
     stop_on_lost: bool = False    # reference stops after >=60 frames; a
@@ -108,6 +114,8 @@ class DirectConfig:
     kf_flow_weight: float = 1.0
     kf_flow_threshold: float = 1.0
     kf_brightness_weight: float = 0.5
+    kf_point_ratio: float = 0.55  # new KF when tracked points fall below
+                                  # this fraction of the reference set
 
     # priors (gauge fixing). The first-frame anchor must NOT dwarf the
     # photometric information (~1e9-1e10 in intensity^2 px^2 units): f32

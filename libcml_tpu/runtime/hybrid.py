@@ -55,6 +55,7 @@ from libcml_tpu.models.indirect.matching import (
 from libcml_tpu.models.indirect.orb import extract_orb
 from libcml_tpu.models.indirect.pnp import solve_pnp, triangulate_linear
 from libcml_tpu.ops.image import build_pyramid
+from libcml_tpu.runtime.checker import CameraChecker
 from libcml_tpu.runtime.odometry import DirectOdometry
 
 # arena capacities (static shapes; reference budgets: 625-2000 ORB corners,
@@ -140,6 +141,8 @@ class HybridOdometry(DirectOdometry):
 
         self.pose_decision = PoseEstimationDecision(self.dcfg)
         self.ba_decision = BundleAdjustmentDecision(self.dcfg)
+        # pose-takeover sanity gate (reference: robust/CameraChecker.h:10)
+        self.checker = CameraChecker()
 
         # indirect map arena (host SoA; device mirror rebuilt on change)
         self._pt_Xw = np.zeros((MAP_CAP, 3), np.float32)
@@ -260,13 +263,23 @@ class HybridOdometry(DirectOdometry):
             # the failure path reset the spine; skip indirect postprocessing
             out["mode"] = mode
             return out
-        if mode == Mode.INDIRECT and pnp_res is not None and not out["ok"]:
-            # direct refinement failed; the PnP pose stands on its own
+        if (
+            mode == Mode.INDIRECT
+            and pnp_res is not None
+            and not out["ok"]
+            and self.checker.plausible(self._T_prev, pnp_res.T)
+        ):
+            # direct refinement failed; the PnP pose stands on its own —
+            # but only when it is motion-plausible (CameraChecker): an
+            # unchecked takeover lets one bad PnP solve teleport the
+            # trajectory (VERDICT r2 weak #7)
             self._T_curr = pnp_res.T
             self._record(timestamp, self._kf_id,
                          pnp_res.T.compose(self._kf_T.inverse()))
             out["ok"] = True
             self._track_fails = 0
+        if out.get("ok"):
+            self.checker.push(self._T_prev, self._T_curr)
 
         self.pose_decision.push(orb_cov, out.get("cov_rot_diag"))
         out["mode"] = mode
@@ -325,7 +338,39 @@ class HybridOdometry(DirectOdometry):
             feats.desc, feats.uv, feats.level, feats.valid,
         )
         mv = np.asarray(m.valid)
+
+        # search-and-fuse: two map points matched to the SAME corner are
+        # duplicates — keep the better match (smaller Hamming distance),
+        # retire the other (reference: indirect/Mapping.cpp:391
+        # searchAndFuse). Retired slots are invalidated; the generation
+        # check drops their stale observations everywhere.
+        midx = np.asarray(m.idx)
+        mdist = np.asarray(m.dist)
+        matched = np.flatnonzero(mv)
+        if matched.size:
+            order = matched[np.argsort(mdist[matched], kind="stable")]
+            seen_feat: dict[int, int] = {}
+            fuse = []
+            for p in order:
+                f = int(midx[p])
+                if f in seen_feat:
+                    fuse.append(p)
+                else:
+                    seen_feat[f] = p
+            if fuse:
+                fuse = np.asarray(fuse)
+                self._pt_valid[fuse] = False
+                mv[fuse] = False
+                self._map_dev = None
+
+        # descriptor refresh: a map point's descriptor follows its NEWEST
+        # observation so matching tracks appearance change (reference:
+        # MapPoint descriptor update in indirect mapping)
         pt_idx = np.flatnonzero(mv)[:OBS_PER_KF]
+        if pt_idx.size:
+            self._pt_desc[pt_idx] = np.asarray(feats.desc)[midx[pt_idx]]
+            self._pt_level[pt_idx] = np.asarray(feats.level)[midx[pt_idx]]
+            self._map_dev = None
         uv_obs = np.asarray(feats.uv)[np.asarray(m.idx)[pt_idx]]
         lv_obs = np.asarray(feats.level)[np.asarray(m.idx)[pt_idx]]
         self._ind_kfs.append({
@@ -365,8 +410,10 @@ class HybridOdometry(DirectOdometry):
         # BAINDIRECT routes correction through indirect constraints); in
         # good photometric conditions the direct BA already sits at the
         # optimum and reprojection noise could only perturb it
-        if self.cfg.mixed_ba and ba_mode == Mode.INDIRECT:
+        if self.cfg.mixed_ba and (self.cfg.mixed_always
+                                  or ba_mode == Mode.INDIRECT):
             self._run_mixed_window_ba()
+        self._cull_redundant_keyframes()
         if len(self._ind_kfs) >= 3:
             # points are always refined (they only feed the indirect
             # tracker); POSES move only when the decision logic picked the
@@ -375,6 +422,52 @@ class HybridOdometry(DirectOdometry):
             self._run_indirect_local_ba(
                 move_poses=(ba_mode == Mode.INDIRECT)
             )
+
+    # -- checkpoint / resume -------------------------------------------------
+
+    def _ckpt_extra(self) -> dict:
+        return {
+            "pt_arrays": {
+                k: getattr(self, k).copy()
+                for k in ("_pt_Xw", "_pt_desc", "_pt_level", "_pt_valid",
+                          "_pt_last_seen", "_pt_gen", "_pt_mapid")
+            },
+            "ind_kfs": self._ind_kfs,
+            "kf_store": self._kf_store,
+            "last_kf": (
+                None if self._last_kf_feats is None else
+                (jax.tree.map(np.asarray, self._last_kf_feats),
+                 jax.tree.map(np.asarray, self._last_kf_T),
+                 self._last_kf_idx)
+            ),
+            "ref_kf_tracked": self._ref_kf_tracked,
+            "mode_history": self.mode_history,
+        }
+
+    def _ckpt_restore_extra(self, extra: dict) -> None:
+        for k, v in extra["pt_arrays"].items():
+            setattr(self, k, v)
+        self._ind_kfs = extra["ind_kfs"]
+        self._kf_store = extra["kf_store"]
+        if extra["last_kf"] is not None:
+            feats, T, idx = extra["last_kf"]
+            self._last_kf_feats = jax.tree.map(jnp.asarray, feats)
+            self._last_kf_T = jax.tree.map(jnp.asarray, T)
+            self._last_kf_idx = idx
+        self._ref_kf_tracked = extra["ref_kf_tracked"]
+        self.mode_history = extra["mode_history"]
+        self._map_dev = None
+        # the BoW retrieval index is rebuilt lazily from _kf_store
+        if self._kf_store and self._kfdb is None:
+            from libcml_tpu.models.indirect.bow import (
+                KeyframeDatabase,
+                default_vocabulary,
+            )
+
+            self._kfdb = KeyframeDatabase(default_vocabulary())
+            for kf_id, st in self._kf_store.items():
+                self._kfdb.add(kf_id, jnp.asarray(st["desc"]),
+                               jnp.asarray(st["valid"]))
 
     # -- relocalization ------------------------------------------------------
 
@@ -603,6 +696,38 @@ class HybridOdometry(DirectOdometry):
             s = slot_of.get(int(k["kf_id"]))
             if s is not None:
                 k["T_R"], k["T_t"] = R[s], t[s]
+
+    def _cull_redundant_keyframes(self):
+        """Redundancy-based keyframe culling (reference:
+        indirect/Mapping.cpp:97 — drop a keyframe when >=90% of its
+        observed points are seen by >=3 other keyframes). Keeps the
+        history and retrieval index bounded and diverse rather than a flat
+        recency window."""
+        if len(self._ind_kfs) < 6:
+            return
+        from collections import Counter
+
+        counts: Counter = Counter()
+        id_sets = []
+        for k in self._ind_kfs:
+            ids = set(k["obs_mapid"][k["obs_mapid"] >= 0].tolist())
+            id_sets.append(ids)
+            counts.update(ids)
+        kept = []
+        for k, ids in zip(self._ind_kfs[:-2], id_sets[:-2]):
+            if ids:
+                redundant = sum(1 for i in ids if counts[i] >= 4) / len(ids)
+            else:
+                redundant = 1.0
+            if redundant >= 0.9:
+                for i in ids:
+                    counts[i] -= 1
+                self._kf_store.pop(k["frame"], None)
+                if self._kfdb is not None:
+                    self._kfdb.remove(k["frame"])
+            else:
+                kept.append(k)
+        self._ind_kfs = kept + self._ind_kfs[-2:]
 
     def _select_local_keyframes(self) -> list[dict]:
         """Covisibility-driven local keyframe selection: the newest indirect

@@ -490,9 +490,22 @@ class DirectOdometry:
         T_init = T_pred.compose(self._kf_T.inverse())
         T_zero = self._T_curr.compose(self._kf_T.inverse())
 
+        # fast path: ONE track from the motion-model prediction (the
+        # reference's standard per-frame path); the multi-hypothesis battery
+        # runs only when that track looks bad (reference: the 27-candidate
+        # trackWithMotionModel recovery, DSOTracker.h:238 — a RECOVERY tool,
+        # not the per-frame cost). The battery costs ~8x the single track.
         with self.sheet.timer("time_track").frame(self.frame_idx):
-            res = _track_multi(pyr, cam, self._tracker_ref, T_init, T_zero,
-                               jnp.zeros(2, jnp.float32), cfg)
+            res = _track(pyr, cam, self._tracker_ref, T_init,
+                         jnp.zeros(2, jnp.float32), cfg)
+            suspect = (
+                int(res.num_valid) < 24
+                or float(res.saturated) >= 0.5 * cfg.fail_saturated
+                or not bool(np.all(np.isfinite(np.asarray(res.T_ji.t))))
+            )
+            if suspect:
+                res = _track_multi(pyr, cam, self._tracker_ref, T_init,
+                                   T_zero, jnp.zeros(2, jnp.float32), cfg)
 
         num_valid = int(res.num_valid)
         # failure = too few geometrically valid points, a non-finite pose,
@@ -507,13 +520,16 @@ class DirectOdometry:
             and float(res.saturated) < cfg.fail_saturated
         )
         if pose_ok:
-            T_world = res.T_ji.compose(self._kf_T)
+            # normalized(): the pose feeds the next frame's squared
+            # motion-model prediction, which doubles any orthonormality
+            # defect per frame (see SE3.normalized)
+            T_world = res.T_ji.compose(self._kf_T).normalized()
             self._track_fails = 0
         else:
             # tracking failure: fall back to the motion-model prediction and
             # freeze the velocity (reference: tracking-failure counter +
             # recovery path, Hybrid.cpp:214-222)
-            T_world = T_pred
+            T_world = T_pred.normalized()
             self._track_fails += 1
             log.warn("direct tracking failed (%d valid points, fail #%d)",
                      num_valid, self._track_fails)
@@ -541,9 +557,17 @@ class DirectOdometry:
         flow = float(res.flow)
         energy = float(res.energy)
         self._frames_since_kf += 1
+        # KF triggers: optical flow (DSO flow criterion), staleness, and a
+        # tracked-point-ratio rule — during fast turns the reference set
+        # leaves the field of view within a few frames and flow alone reacts
+        # too late (reference: directNeedNewKeyFrame flow+brightness,
+        # direct/Tracking.cpp:4; the ratio rule is indirectNeedNewKeyFrame's
+        # ORB-SLAM-style refKF criterion applied to the direct point set)
+        n_ref = max(int(jnp.sum(self._tracker_ref.valid[0])), 1)
         need_kf = pose_ok and (
             cfg.kf_flow_weight * flow > cfg.kf_flow_threshold
             or self._frames_since_kf >= 8
+            or num_valid < cfg.kf_point_ratio * n_ref
         )
         out = {
             "state": "TRACKING",
@@ -618,6 +642,7 @@ class DirectOdometry:
         self.segments += 1
         log.important("restarting map: segment %d anchored at frame %d",
                       self.segments, self.frame_idx)
+        anchor = anchor.normalized()
         cfg = self.cfg
         self._window = None
         self._tracker_ref = None
@@ -698,6 +723,66 @@ class DirectOdometry:
         )
         # this frame's map entry became a keyframe: _sync_kf_poses above
         # already wrote its absolute optimized pose + KEYFRAME group
+
+    # -- checkpoint / resume --------------------------------------------------
+
+    _CKPT_SCALARS = (
+        "state", "frame_idx", "segments", "stopped", "_anchor_kf",
+        "_kf_slot", "_kf_id", "_frames_since_kf", "_track_fails",
+        "_lost_frames", "_fid2map", "_first_ts",
+    )
+    _CKPT_PYTREES = (
+        "_window", "_immature", "_init_state", "_first_pyr", "_kf_pyr",
+        "_kf_grad0_prev", "_kf_T", "_kf_ab", "_T_prev", "_T_curr",
+        "_restart_anchor",
+    )
+
+    def _ckpt_extra(self) -> dict:
+        """Subclass hook: additional host state to checkpoint."""
+        return {}
+
+    def _ckpt_restore_extra(self, extra: dict) -> None:
+        pass
+
+    def save_state(self, path: str) -> None:
+        """Serialize the full SLAM state — arenas, window, map, host scalars
+        — so a run can resume mid-sequence (SURVEY.md §5 'cheap win': the
+        SoA arenas are trivially serializable; the reference has no SLAM-
+        state checkpointing at all, only experiment-level caching)."""
+        import pickle
+
+        def to_np(tree):
+            return jax.tree.map(np.asarray, tree) if tree is not None else None
+
+        payload = {
+            "scalars": {k: getattr(self, k, None) for k in self._CKPT_SCALARS},
+            "pytrees": {k: to_np(getattr(self, k, None))
+                        for k in self._CKPT_PYTREES},
+            "map": self.map,
+            "extra": self._ckpt_extra(),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def load_state(self, path: str) -> None:
+        """Restore a checkpoint written by save_state into this instance
+        (which must share cam + cfg). Device-side pytrees are re-uploaded;
+        the tracker reference is rebuilt from the window."""
+        import pickle
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        for k, v in payload["scalars"].items():
+            setattr(self, k, v)
+        for k, v in payload["pytrees"].items():
+            setattr(
+                self, k,
+                jax.tree.map(jnp.asarray, v) if v is not None else None,
+            )
+        self.map = payload["map"]
+        self._ckpt_restore_extra(payload["extra"])
+        if self._window is not None:
+            self._rebuild_tracker_ref()
 
     # -- outputs ---------------------------------------------------------------
 

@@ -137,3 +137,36 @@ def test_jit_and_vmap():
     np.testing.assert_allclose(np.asarray(f(w)), np.asarray(w), atol=1e-5)
     g = jax.vmap(so3_exp)
     assert g(jnp.zeros((7, 3))).shape == (7, 3, 3)
+
+
+def test_normalized_restores_so3():
+    import numpy as np
+
+    from libcml_tpu.core.lie import SE3, se3_exp
+
+    rng = np.random.default_rng(0)
+    R_bad = np.asarray(se3_exp(jnp.asarray([0.1, 0, 0, 0.2, 0.1, 0]).astype(jnp.float32)).R)
+    R_bad = R_bad * 0.95 + rng.normal(0, 0.01, (3, 3))
+    T = SE3(R=jnp.asarray(R_bad, jnp.float32), t=jnp.zeros(3)).normalized()
+    R = np.asarray(T.R)
+    assert np.abs(R @ R.T - np.eye(3)).max() < 1e-5
+    assert np.linalg.det(R) > 0.999
+
+
+def test_motion_model_squaring_stays_orthonormal():
+    """pred = curr ∘ prev^-1 ∘ curr doubles orthonormality error per step;
+    normalized() must keep det(R) at 1 over hundreds of iterations (the
+    f32 defect otherwise collapses det within ~25 frames)."""
+    import numpy as np
+
+    from libcml_tpu.core.lie import SE3, se3_exp
+
+    rng = np.random.default_rng(1)
+    prev = SE3.identity()
+    curr = se3_exp(jnp.asarray(rng.normal(0, 0.05, 6), jnp.float32))
+    for _ in range(100):
+        delta = curr.compose(prev.inverse())
+        pred = delta.compose(curr).normalized()
+        prev, curr = curr, pred
+    det = np.linalg.det(np.asarray(curr.R))
+    assert abs(det - 1.0) < 1e-4, f"det drifted to {det}"
