@@ -155,6 +155,130 @@ def statson(
     return out
 
 
+def genetic_search(
+    sequences: list[str],
+    base_config: Any,
+    space: dict[str, tuple],
+    generations: int = 20,
+    population: int = 12,
+    elite: int = 3,
+    mutation: float = 0.3,
+    seed: int = 0,
+    db: ResultDatabase | None = None,
+    host_index: int = 0,
+    num_hosts: int = 1,
+    **kw,
+) -> list[dict]:
+    """Evolutionary parameter search (reference: evaluation/genetic.py —
+    200-generation evolutionary sweep over SLAM parameters). `space` maps
+    dotted config keys to (low, high) ranges (numeric) or tuples of choices.
+    Fitness = mean ATE over `sequences` (lower is better; failed runs score
+    inf). Each generation's population is sharded round-robin across hosts
+    (the DCN evaluation tier); results meet in the shared cache, so
+    re-evaluating an elite individual is free."""
+    import random
+
+    from libcml_tpu.runtime.config import apply_config
+
+    rng = random.Random(seed)
+    keys = sorted(space)
+
+    def sample_gene(k):
+        lo_hi = space[k]
+        if isinstance(lo_hi, tuple) and len(lo_hi) == 2 and all(
+            isinstance(v, (int, float)) for v in lo_hi
+        ):
+            lo, hi = lo_hi
+            v = rng.uniform(float(lo), float(hi))
+            return int(round(v)) if isinstance(lo, int) and isinstance(hi, int) else v
+        return rng.choice(list(lo_hi))
+
+    def mutate(genome):
+        return {
+            k: (sample_gene(k) if rng.random() < mutation else v)
+            for k, v in genome.items()
+        }
+
+    def crossover(a, b):
+        return {k: (a[k] if rng.random() < 0.5 else b[k]) for k in keys}
+
+    def fitness(genome):
+        cfg = apply_config(base_config, genome)
+        ates = []
+        for seq in sequences:
+            try:
+                m = run_sequence(seq, cfg, db=db, **kw)
+            except Exception:
+                return float("inf"), None
+            ates.append(m.get("ate_rmse", float("inf")))
+        return float(np.mean(ates)), cfg
+
+    pop = [{k: sample_gene(k) for k in keys} for _ in range(population)]
+    history = []
+    for gen in range(generations):
+        scored = []
+        for i, genome in enumerate(pop):
+            if i % num_hosts != host_index:
+                continue
+            f, _ = fitness(genome)
+            scored.append((f, genome))
+        scored.sort(key=lambda x: x[0])
+        best_f, best_g = scored[0]
+        history.append({"generation": gen, "best_ate": best_f,
+                        "best": dict(best_g)})
+        print(f"STAT genetic {gen} {best_f:.5f}")
+        elites = [g for _, g in scored[:elite]]
+        children = []
+        while len(children) < population - len(elites):
+            children.append(mutate(crossover(rng.choice(elites),
+                                             rng.choice(elites))))
+        pop = elites + children
+    return history
+
+
+def plot_results(results: list[dict], out_path: str,
+                 x_key: str = "dataset", y_key: str = "ate_rmse") -> str:
+    """Bar/line chart of harness results (reference: evaluation/plotall.py /
+    make2dtable.py). Uses matplotlib when available, else writes an SVG bar
+    chart by hand — zero hard dependencies for a headless pod."""
+    xs = [str(r.get(x_key, "?")).rsplit("/", 1)[-1] for r in results]
+    ys = [float(r.get(y_key, float("nan"))) for r in results]
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(max(4, len(xs)), 3))
+        ax.bar(range(len(xs)), ys)
+        ax.set_xticks(range(len(xs)), xs, rotation=45, ha="right")
+        ax.set_ylabel(y_key)
+        fig.tight_layout()
+        fig.savefig(out_path)
+        plt.close(fig)
+        return out_path
+    except Exception:
+        w, h = 80 * max(1, len(xs)), 240
+        ymax = max([y for y in ys if np.isfinite(y)] + [1e-9])
+        bars = []
+        for i, (x, y) in enumerate(zip(xs, ys)):
+            bh = 0 if not np.isfinite(y) else int(180 * y / ymax)
+            bars.append(
+                f'<rect x="{10 + i * 80}" y="{200 - bh}" width="60" '
+                f'height="{bh}" fill="#4a7"/>'
+                f'<text x="{40 + i * 80}" y="220" font-size="10" '
+                f'text-anchor="middle">{x}</text>'
+                f'<text x="{40 + i * 80}" y="{195 - bh}" font-size="10" '
+                f'text-anchor="middle">{y:.3g}</text>'
+            )
+        svg = (f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" '
+               f'height="{h}">' + "".join(bars) + "</svg>")
+        path = out_path if out_path.endswith(".svg") else out_path + ".svg"
+        with open(path, "w") as f:
+            f.write(svg)
+        return path
+
+
 def bruteforce_sweep(
     sequences: list[str],
     base_config: Any,

@@ -98,12 +98,17 @@ def calibrate_distortion(
     valid: jax.Array,
     cam: PinholeCamera,
     iters: int = 15,
+    radial_only: bool = False,
 ) -> jax.Array:
     """Fit radial-tangential distortion [k1, k2, p1, p2] mapping the ideal
     projection of camera-frame points Xc (N, 3) onto their OBSERVED raw
     pixels uv_obs (N, 2) — batched GN with autodiff Jacobians (the model is
     4 parameters; forward-mode through the distortion is one jacfwd)."""
     xn = Xc[:, :2] / jnp.maximum(Xc[:, 2:3], 1e-6)
+    # clip invalid rows into a sane range: their weight is zero, but inf/nan
+    # Jacobian entries (r^6 growth) would still poison H via inf * 0 = nan
+    xn = jnp.clip(jnp.nan_to_num(xn, nan=0.0, posinf=0.0, neginf=0.0),
+                  -3.0, 3.0)
     w0 = valid.astype(jnp.float32) * (Xc[:, 2] > 1e-4)
 
     def predict(params):
@@ -118,11 +123,21 @@ def calibrate_distortion(
         return jnp.stack([u, v], -1)
 
     def step(params, _):
-        r = (predict(params) - uv_obs).reshape(-1)          # (2N,)
+        res = predict(params) - uv_obs                       # (N, 2)
+        # Huber on the pixel residual norm: harvested SLAM matches contain
+        # gross outliers and the 4-parameter model must not chase them
+        rn = jnp.linalg.norm(res, axis=-1)
+        hub = jnp.where(rn > 3.0, 3.0 / jnp.maximum(rn, 1e-9), 1.0)
+        r = res.reshape(-1)                                  # (2N,)
         J = jax.jacfwd(lambda p: predict(p).reshape(-1))(params)  # (2N, 4)
-        w = jnp.repeat(w0, 2)
+        w = jnp.repeat(w0 * hub, 2)
         H = J.T @ (w[:, None] * J) + 1e-8 * jnp.eye(4)
         b = J.T @ (w * r)
+        if radial_only:
+            # self-calibration from SLAM geometry: the tangential terms are
+            # weakly observable and overfit correspondence noise — pin them
+            pin = jnp.array([0.0, 0.0, 1e12, 1e12], jnp.float32)
+            H = H + jnp.diag(pin)
         return params - jnp.linalg.solve(H, b), None
 
     p0 = jnp.zeros((4,), jnp.float32)

@@ -223,6 +223,148 @@ class HybridOdometry(DirectOdometry):
 
     # -- per-frame ----------------------------------------------------------
 
+    def process(self, image, timestamp, gt_pose_c2w=None):
+        out = super().process(image, timestamp, gt_pose_c2w)
+        # ORB two-view bootstrap fallback: when the DSO initializer has not
+        # converged after a while (low-texture / low-parallax starts), try
+        # the ORB-SLAM-style F/H-RANSAC initializer on matched corners
+        # (reference: RobustRaulmurInitializer::track — the indirect
+        # bootstrap the reference keeps beside initializeWithDSO)
+        if (
+            self.enable_indirect
+            and self.state == "INIT"
+            and self.frame_idx - self._anchor_kf >= 15
+            and (self.frame_idx - self._anchor_kf) % 5 == 0
+        ):
+            if self._twoview_bootstrap(
+                jnp.asarray(image, jnp.float32), timestamp
+            ):
+                out = {"state": self.state, "twoview_init": True}
+        return out
+
+    def _twoview_bootstrap(self, img, timestamp) -> bool:
+        from libcml_tpu.models.indirect.matching import match_window
+        from libcml_tpu.models.indirect.twoview import two_view_init
+
+        f0 = _extract(self._first_pyr[0][..., 0], self.orb_budget,
+                      self.orb_levels)
+        f1 = _extract(img, self.orb_budget, self.orb_levels)
+        m = match_window(f0.desc, f0.uv, f0.valid,
+                         f1.desc, f1.uv, f1.valid)
+        if int(m.num) < 40:
+            return False
+        res = two_view_init(
+            f0.uv, f1.uv[m.idx], m.valid, self.cam,
+            jax.random.PRNGKey(self.frame_idx),
+        )
+        if not bool(res.ok):
+            return False
+        inl = np.asarray(res.inlier)
+        X0 = np.asarray(res.X0)
+        ok = inl & np.isfinite(X0).all(1) & (X0[:, 2] > 1e-3)
+        if ok.sum() < 30:
+            return False
+
+        # refine the pair with a tiny reprojection BA (frame 0 fixed): the
+        # minimal-solver pose from forward-motion narrow-FOV geometry is
+        # tens of degrees off in translation direction; joint point+pose
+        # refinement over all inliers tightens it (the reference's Raulmur
+        # initializer equally relies on the BA that follows)
+        N = X0.shape[0]
+        uv1m = np.asarray(f1.uv)[np.asarray(m.idx)]
+        prob = iba.IndirectBAProblem(
+            T=SE3(
+                R=jnp.stack([jnp.eye(3), res.T_10.R]),
+                t=jnp.stack([jnp.zeros(3), res.T_10.t]),
+            ),
+            frame_valid=jnp.ones((2,), bool),
+            frame_fixed=jnp.asarray([True, False]),
+            Xw=jnp.asarray(X0),
+            point_valid=jnp.asarray(ok),
+            obs_frame=jnp.concatenate([jnp.zeros(N, jnp.int32),
+                                       jnp.ones(N, jnp.int32)]),
+            obs_point=jnp.tile(jnp.arange(N, dtype=jnp.int32), 2),
+            obs_uv=jnp.concatenate([f0.uv, jnp.asarray(uv1m, jnp.float32)]),
+            obs_valid=jnp.tile(jnp.asarray(ok), 2),
+            obs_sigma2=jnp.ones((2 * N,), jnp.float32),
+        )
+        out = iba.run_local_ba(prob, self.cam)
+        X0 = np.asarray(out.Xw)
+        T_ref = jax.tree.map(lambda x: x[1], out.T)
+        if not np.isfinite(np.asarray(T_ref.t)).all():
+            return False
+        res = res.replace(T_10=T_ref)
+        ok = ok & np.isfinite(X0).all(1) & (X0[:, 2] > 1e-3)
+        if ok.sum() < 30:
+            return False
+        # seed the direct window: the two-view pose + sparse corner depths
+        # become the initial keyframe pair; photometric BA refines from
+        # there exactly as after a DSO init
+        from libcml_tpu.utils import logging as log
+
+        log.important("two-view bootstrap at frame %d (%d points)",
+                      self.frame_idx, int(ok.sum()))
+        # median-depth normalization (monocular gauge, as normalize_scale)
+        med = float(np.median(X0[ok, 2]))
+        scale = 1.0 / max(med, 1e-6)
+        idepth0 = 1.0 / np.maximum(X0[:, 2] * scale, 1e-4)
+        T_rel = SE3(R=res.T_10.R, t=res.T_10.t * scale)
+        self._promote_two_view(
+            img, timestamp, T_rel,
+            f0.uv, jnp.asarray(idepth0, jnp.float32), jnp.asarray(ok),
+        )
+        return True
+
+    def _promote_two_view(self, img, timestamp, T_rel, uv0, idepth0, ok):
+        """Build the window from a two-view bootstrap (mirrors
+        _promote_initialization with external points)."""
+        from libcml_tpu.models.direct import ba as ba_mod
+        from libcml_tpu.models.direct import window as win_mod
+        from libcml_tpu.runtime.odometry import (
+            _preprocess,
+            _seed_new_immatures,
+            _working_rho_range,
+        )
+
+        cfg, cam = self.cfg, self.cam
+        anchor = self._restart_anchor
+        pyr = _preprocess(img, cfg.num_levels)
+        window = win_mod.empty_window(cfg, cam.height, cam.width)
+        window, slot0 = win_mod.add_keyframe(
+            window, self._first_pyr[0], anchor, jnp.zeros(2, jnp.float32),
+            jnp.asarray(self._anchor_kf, jnp.int32),
+        )
+        window = window.replace(
+            ba=ba_mod.anchor_first_frame(window.ba, 0, cfg)
+        )
+        window, slot1 = win_mod.add_keyframe(
+            window, pyr[0], T_rel.compose(anchor), jnp.zeros(2, jnp.float32),
+            jnp.asarray(self.frame_idx, jnp.int32),
+        )
+        window = win_mod.add_points(window, slot0, uv0, idepth0, ok, cfg)
+        new_ba, _ = ba_mod.run_ba(window.ba, window.images, cam, cfg)
+        new_ba = ba_mod.update_residual_status(new_ba, window.images, cam, cfg)
+        self._window = window.replace(ba=new_ba)
+
+        self._kf_slot = int(slot1)
+        self._kf_id = self.frame_idx
+        self._kf_pyr = pyr
+        self._kf_grad0_prev = self._first_pyr[0]
+        self._kf_ab = jnp.zeros(2, jnp.float32)
+        self._record(timestamp, self._kf_id, SE3.identity())
+        self._sync_kf_poses()
+        self._set_abs_pose(self._kf_id, self._kf_T, keyframe=True)
+        self._rebuild_tracker_ref()
+        rho_lo, rho_hi = _working_rho_range(self._window.ba, cfg)
+        self._immature = _seed_new_immatures(
+            self._immature, jnp.asarray(self._kf_slot), pyr[0],
+            rho_lo, rho_hi, cfg,
+        )
+        self._T_prev = self._kf_T
+        self._T_curr = self._kf_T
+        self._frames_since_kf = 0
+        self.state = "TRACKING"
+
     def _track_frame(self, pyr, img, timestamp):
         if not self.enable_indirect:
             return super()._track_frame(pyr, img, timestamp)
@@ -492,6 +634,7 @@ class HybridOdometry(DirectOdometry):
         feat2gen[fidx] = self._pt_gen[pt_idx]
         self._kf_store[self.frame_idx] = {
             "desc": np.asarray(feats.desc),
+            "uv": np.asarray(feats.uv),
             "valid": np.asarray(feats.valid),
             "feat2slot": feat2slot,
             "feat2gen": feat2gen,
@@ -505,7 +648,10 @@ class HybridOdometry(DirectOdometry):
         if self._kfdb is None or not self._kf_store:
             return False
         from libcml_tpu.models.indirect.epnp import epnp_ransac
-        from libcml_tpu.models.indirect.matching import match_descriptors
+        from libcml_tpu.models.indirect.matching import (
+            match_descriptors,
+            vfc_filter,
+        )
 
         img = pyr[0][..., 0]
         feats = _extract(img, self.orb_budget, self.orb_levels)
@@ -518,6 +664,14 @@ class HybridOdometry(DirectOdometry):
                 feats.desc, feats.valid,
                 jnp.asarray(st["desc"]), jnp.asarray(st["valid"]),
             )
+            # VFC outlier rejection on the match displacement field
+            # (reference: the VFC pass the matchers feed, VFC.h:124) —
+            # descriptor-only relocalization matches carry gross outliers
+            # that would otherwise burn RANSAC iterations
+            if "uv" in st and int(m.num) >= 24:
+                m = m.replace(valid=vfc_filter(
+                    feats.uv, jnp.asarray(st["uv"])[m.idx], m.valid
+                ))
             mi = np.asarray(m.idx)
             mv = np.asarray(m.valid)
             slots = st["feat2slot"][mi]

@@ -91,3 +91,41 @@ def test_bruteforce_sweep_shards(kitti_synth, tmp_path):
     # disjoint host slices cover the grid exactly once
     assert len(r0) == 1 and len(r1) == 1
     assert r0[0]["settings"] != r1[0]["settings"]
+
+
+def test_genetic_search_converges(monkeypatch, tmp_path):
+    """Evolutionary sweep on a stubbed quadratic objective: the best ATE
+    must improve across generations (reference: evaluation/genetic.py)."""
+    import dataclasses
+
+    from libcml_tpu.eval import harness
+
+    @dataclasses.dataclass(frozen=True)
+    class Cfg:
+        a: float = 0.0
+        b: float = 0.0
+
+    def fake_run_sequence(seq, cfg, db=None, **kw):
+        return {"ate_rmse": (cfg.a - 3.0) ** 2 + (cfg.b + 1.0) ** 2}
+
+    monkeypatch.setattr(harness, "run_sequence", fake_run_sequence)
+    hist = harness.genetic_search(
+        ["seq"], Cfg(), {"a": (-5.0, 5.0), "b": (-5.0, 5.0)},
+        generations=8, population=10, seed=1,
+    )
+    assert hist[-1]["best_ate"] < hist[0]["best_ate"]
+    assert hist[-1]["best_ate"] < 0.5
+    assert abs(hist[-1]["best"]["a"] - 3.0) < 1.5
+
+
+def test_plot_results(tmp_path):
+    from libcml_tpu.eval.harness import plot_results
+
+    out = plot_results(
+        [{"dataset": "seq/a", "ate_rmse": 0.1},
+         {"dataset": "seq/b", "ate_rmse": 0.3}],
+        str(tmp_path / "plot.png"),
+    )
+    import os
+
+    assert os.path.isfile(out) and os.path.getsize(out) > 100

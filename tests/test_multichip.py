@@ -98,3 +98,15 @@ def test_sharded_ba_matches_single_device():
         rtol=5e-2, atol=5e-3,
     )
     assert np.isfinite(float(out_E))
+
+    # dual-run determinism (the reference's TEST_DETERMINISITY, two
+    # identical SLAM instances cross-checked per frame): within ONE fixed
+    # sharding the step must be BIT-IDENTICAL across runs
+    out_state2, out_E2 = step(shard_ba_state(window.ba, mesh), window.images)
+    np.testing.assert_array_equal(
+        np.asarray(out_state.T.t), np.asarray(out_state2.T.t)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_state.idepth), np.asarray(out_state2.idepth)
+    )
+    assert float(out_E) == float(out_E2)
