@@ -948,7 +948,20 @@ def _marg_pieces(state: BAState, images: jax.Array, cam: PinholeCamera,
     )
     H_pts, b_pts, H_rho, b_rho, H_xr = _assemble(lin, marg_state, cfg,
                                                  r_shift=r0)
-    return H_pts, b_pts, H_rho, b_rho, H_xr, hosted
+    # Contract the point-Schur CORRECTION on device but leave the
+    # cancellation-sensitive subtraction H_pts - H_corr to the host in f64:
+    # both terms are ~1e10 while their difference along the weak (scale)
+    # directions is ~1e6, so an f32 subtraction injects percent-level scale
+    # noise per marginalization (measured: corridor-200 ATE 0.94 -> 1.83
+    # with the subtraction in f32). Shipping the two (D, D) terms is ~25 KB
+    # — still ~20x less transfer than the raw (P, D) pieces.
+    scale = jnp.where(hosted, 1.0 / (H_rho + 1e-12), 0.0)
+    H_corr = jnp.einsum("pd,p,pe->de", H_xr, scale, H_xr)
+    b_corr = H_xr.T @ (b_rho * scale)
+    # everything the host half needs rides back in this ONE transfer
+    return (H_pts, b_pts, H_corr, b_corr, hosted,
+            state.T.R, state.T.t, state.frame_valid, state.delta,
+            state.ab_fej, state.H_m, state.b_m)
 
 
 def marginalize_frame_f64(
@@ -974,25 +987,24 @@ def marginalize_frame_f64(
     D = F * _D
     slot = int(slot)
 
-    pieces = _marg_pieces(state, images, cam, cfg, jnp.asarray(slot))
-
     import numpy as np
 
-    H_pts, b_pts, H_rho, b_rho, H_xr, hosted_j = (
-        np.asarray(x, np.float64) if x.dtype != bool else np.asarray(x)
-        for x in pieces
+    pieces = jax.device_get(
+        _marg_pieces(state, images, cam, cfg, jnp.asarray(slot))
     )
-    hosted = hosted_j
-    delta = np.asarray(state.delta, np.float64)        # (F, 8)
-    ab_fej = np.asarray(state.ab_fej, np.float64)
-
-    scale = np.where(hosted, 1.0 / np.where(hosted, H_rho + 1e-12, 1.0), 0.0)
-    H_add = H_pts - (H_xr * scale[:, None]).T @ H_xr
-    b_add = b_pts - H_xr.T @ (b_rho * scale)
+    (H_pts, b_pts, H_corr, b_corr, hosted_j,
+     T_R, T_t, fv, delta, ab_fej, H_m_f32, b_m_f32) = pieces
+    H_pts, b_pts, H_corr, b_corr = (
+        np.asarray(x, np.float64) for x in (H_pts, b_pts, H_corr, b_corr)
+    )
+    H_add = H_pts - H_corr
+    b_add = b_pts - b_corr
+    delta = np.asarray(delta, np.float64)              # (F, 8)
+    ab_fej = np.asarray(ab_fej, np.float64)
 
     mw = cfg.marg_weight
-    H_m = np.asarray(state.H_m, np.float64) + mw * H_add
-    b_m = np.asarray(state.b_m, np.float64) + mw * b_add
+    H_m = np.asarray(H_m_f32, np.float64) + mw * H_add
+    b_m = np.asarray(b_m_f32, np.float64) + mw * b_add
 
     # fold the slot's affine anchors (see marginalize_frame)
     H_m[slot * _D + 6, slot * _D + 6] += cfg.ba_prior_a
@@ -1013,26 +1025,54 @@ def marginalize_frame_f64(
     b_new[keep] = b_m[keep] - Hkm @ (Hmm_inv @ b_m[sel])
     H_new = 0.5 * (H_new + H_new.T)
 
-    # drop hosted points + residuals targeting the slot; invalidate the frame
-    point_valid = state.point_valid & ~hosted_j
-    res_active = state.res_active & (jnp.arange(F)[None, :] != slot)
-    frame_valid = state.frame_valid & (jnp.arange(F) != slot)
-    state = state.replace(
-        point_valid=point_valid,
-        res_active=res_active,
-        frame_valid=frame_valid,
-        delta=jnp.where((jnp.arange(F) == slot)[:, None], 0.0, state.delta),
-    )
-
-    # gauge-orthogonalize b (f64) + PSD floor, then back to f32 device state
-    N = np.asarray(_nullspaces(state), np.float64)
+    # gauge-orthogonalize b against the POST-drop nullspaces (slot frame
+    # excluded) + PSD floor — all host f64, numpy-built nullspaces so no
+    # eager device round-trips
+    R_np = np.asarray(T_R, np.float64)
+    t_np = np.asarray(T_t, np.float64)
+    fv_np = np.asarray(fv).copy()
+    fv_np[slot] = False
+    Nmat = np.zeros((F, _D, 7))
+    for f in range(F):
+        if not fv_np[f]:
+            continue
+        Nmat[f, 0:3, 0:3] = R_np[f]
+        Nmat[f, 0:3, 3:6] = _skew_np(t_np[f]) @ R_np[f]
+        Nmat[f, 3:6, 3:6] = R_np[f]
+        Nmat[f, 0:3, 6] = t_np[f]
+    N = Nmat.reshape(D, 7)
     coeff = np.linalg.solve(N.T @ N + 1e-9 * np.eye(7), N.T @ b_new)
     b_new = b_new - N @ coeff
     ew, V = np.linalg.eigh(H_new)
     ew = np.maximum(ew, 0.0)
     H_new = (V * ew[None, :]) @ V.T
 
+    # one jitted program applies every state mutation (eager per-op
+    # dispatch through the TPU tunnel costs ~10-30 ms each)
+    return _marg_apply(
+        state, jnp.asarray(slot, jnp.int32),
+        jnp.asarray(H_new, jnp.float32), jnp.asarray(b_new, jnp.float32),
+        jnp.asarray(hosted_j),
+    )
+
+
+def _skew_np(v: "np.ndarray"):
+    import numpy as np
+
+    return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+
+
+@jax.jit
+def _marg_apply(state: BAState, slot, H_new, b_new, hosted):
+    """Apply the marginalization's state mutations in ONE device program:
+    drop hosted points + residuals targeting the slot, invalidate the
+    frame, zero its delta, install the new prior."""
+    F = state.num_frames
     return state.replace(
-        H_m=jnp.asarray(H_new, jnp.float32),
-        b_m=jnp.asarray(b_new, jnp.float32),
+        point_valid=state.point_valid & ~hosted,
+        res_active=state.res_active & (jnp.arange(F)[None, :] != slot),
+        frame_valid=state.frame_valid & (jnp.arange(F) != slot),
+        delta=jnp.where((jnp.arange(F) == slot)[:, None], 0.0, state.delta),
+        H_m=H_new,
+        b_m=b_new,
     )
