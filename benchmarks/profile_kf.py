@@ -1,0 +1,131 @@
+"""Round-4 profiling harness for the keyframe event.
+
+Breaks the dominant amortized cost (BENCH_r03: t_kf_event 125-150 ms) into
+its parts so the optimization work targets the real line items:
+  - _kf_insert_and_ba (jitted insert + 4 LM iters + outlier pass)
+  - marginalize_frame_f64, split into:
+      * _marg_pieces device program (linearize hosted + contract)
+      * device->host transfer (device_get of the pieces)
+      * host numpy f64 Schur algebra
+      * _marg_apply dispatch
+Optionally captures a jax.profiler trace (--trace DIR).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timeit(fn, *args, iters=10):
+    import jax
+
+    for _ in range(2):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from libcml_tpu.core.camera import PinholeCamera
+    from libcml_tpu.core.lie import SE3, se3_exp
+    from libcml_tpu.models.direct import ba as ba_mod
+    from libcml_tpu.models.direct import window as win_mod
+    from libcml_tpu.models.direct.config import DirectConfig
+    from libcml_tpu.runtime.odometry import _kf_insert_and_ba
+
+    H, W, P = 480, 640, 2048
+    cfg = DirectConfig(num_levels=4, max_points=P, max_frames=7,
+                       tracker_iters=10, ba_iters=4)
+    cam = PinholeCamera.make(520.0, 520.0, W / 2 - 0.5, H / 2 - 0.5, W, H)
+    rng = np.random.default_rng(0)
+    base = np.cumsum(rng.standard_normal((H, W)), axis=1)
+    base = base + np.cumsum(rng.standard_normal((H, W)), axis=0)
+    from libcml_tpu.ops.image import build_gradient_pyramid
+
+    img_raw = jnp.asarray((base - base.min()) / np.ptp(base) * 220.0 + 20.0,
+                          jnp.float32)
+    img = build_gradient_pyramid(img_raw, cfg.num_levels)[0]
+    uv = jnp.asarray(rng.uniform([8, 8], [W - 8, H - 8], (P, 2)), jnp.float32)
+    idepth = jnp.asarray(rng.uniform(0.3, 2.0, (P,)), jnp.float32)
+
+    window = win_mod.empty_window(cfg, H, W)
+    window, s0 = win_mod.add_keyframe(
+        window, img, SE3.identity(), jnp.zeros(2), jnp.asarray(0, jnp.int32))
+    window = window.replace(ba=ba_mod.anchor_first_frame(window.ba, 0, cfg))
+    for k in range(1, 5):
+        Tk = se3_exp(jnp.asarray([0, 0, 0.05 * k, 0, 0.002 * k, 0],
+                                 jnp.float32))
+        window, _ = win_mod.add_keyframe(window, img, Tk, jnp.zeros(2),
+                                         jnp.asarray(k, jnp.int32))
+    window = win_mod.add_points(window, s0, uv, idepth, jnp.ones((P,), bool),
+                                cfg)
+    T_new = se3_exp(jnp.asarray([0, 0, 0.25, 0, 0.01, 0], jnp.float32))
+
+    results = {}
+    results["kf_insert_and_ba_ms"] = 1e3 * timeit(
+        lambda: _kf_insert_and_ba(window, img, T_new, jnp.zeros(2),
+                                  jnp.asarray(9, jnp.int32), cam, cfg),
+        iters=args.iters)
+
+    # one BA iteration alone (linearize + assemble + solve + update)
+    st = window.ba
+    results["ba_linearize_ms"] = 1e3 * timeit(
+        jax.jit(lambda s: ba_mod.linearize(s, window.images, cam, cfg).r),
+        st, iters=args.iters)
+    results["ba_full_run_ms"] = 1e3 * timeit(
+        lambda: ba_mod.run_ba(st, window.images, cam, cfg), iters=args.iters)
+
+    # marginalization split
+    slot = 1
+    pieces_fn = lambda: ba_mod._marg_pieces(st, window.images, cam, cfg,
+                                            jnp.asarray(slot))
+    results["marg_pieces_device_ms"] = 1e3 * timeit(pieces_fn,
+                                                    iters=args.iters)
+    pieces = pieces_fn()
+    jax.block_until_ready(pieces)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        host = jax.device_get(pieces)
+    results["marg_transfer_ms"] = 1e3 * (time.perf_counter() - t0) / args.iters
+    nbytes = sum(np.asarray(x).nbytes for x in host)
+    results["marg_transfer_kb"] = nbytes / 1024.0
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = ba_mod.marginalize_frame_f64(st, window.images, cam, cfg, slot)
+        jax.block_until_ready(out)
+    results["marg_total_ms"] = 1e3 * (time.perf_counter() - t0) / args.iters
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for _ in range(3):
+                out = _kf_insert_and_ba(window, img, T_new, jnp.zeros(2),
+                                        jnp.asarray(9, jnp.int32), cam, cfg)
+            jax.block_until_ready(out)
+        results["trace_dir"] = args.trace
+
+    for k, v in results.items():
+        print(f"{k}: {v:.2f}" if isinstance(v, float) else f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

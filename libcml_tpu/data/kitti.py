@@ -51,7 +51,10 @@ class KittiCapture(AbstractCapture):
                 if l.startswith("P0:") or l.startswith("P2:") or l.startswith("P0 ")
             )
         vals = [float(v) for v in line.split(":", 1)[1].split()]
-        fx, cx, fy, cy = vals[0], vals[2], vals[5], vals[6]
+        # KITTI files use the corner-origin pixel convention; internally we
+        # address pixels by index, so shift the principal point by half a
+        # pixel exactly as the reference does (KittyCapture.cpp:98-101)
+        fx, cx, fy, cy = vals[0], vals[2] - 0.5, vals[5], vals[6] - 0.5
 
         first = _read_image_gray(os.path.join(self.img_dir, self.files[0]))
         H, W = first.shape

@@ -989,11 +989,16 @@ def marginalize_frame_f64(
 
     import numpy as np
 
-    pieces = jax.device_get(
-        _marg_pieces(state, images, cam, cfg, jnp.asarray(slot))
+    pieces_dev = _marg_pieces(state, images, cam, cfg, jnp.asarray(slot))
+    hosted_dev = pieces_dev[4]  # stays device-resident for _marg_apply
+    # ONE bulk fetch of exactly what the host f64 algebra consumes; `hosted`
+    # (P bools) never crosses the boundary at all (round 4: the previous
+    # fetch-everything + 4 separate jnp.asarray uploads cost ~150 ms of
+    # tunnel latency per marginalization vs ~13 ms of actual compute).
+    (H_pts, b_pts, H_corr, b_corr,
+     T_R, T_t, fv, delta, ab_fej, H_m_f32, b_m_f32) = jax.device_get(
+        pieces_dev[:4] + pieces_dev[5:]
     )
-    (H_pts, b_pts, H_corr, b_corr, hosted_j,
-     T_R, T_t, fv, delta, ab_fej, H_m_f32, b_m_f32) = pieces
     H_pts, b_pts, H_corr, b_corr = (
         np.asarray(x, np.float64) for x in (H_pts, b_pts, H_corr, b_corr)
     )
@@ -1047,13 +1052,11 @@ def marginalize_frame_f64(
     ew = np.maximum(ew, 0.0)
     H_new = (V * ew[None, :]) @ V.T
 
-    # one jitted program applies every state mutation (eager per-op
-    # dispatch through the TPU tunnel costs ~10-30 ms each)
-    return _marg_apply(
-        state, jnp.asarray(slot, jnp.int32),
-        jnp.asarray(H_new, jnp.float32), jnp.asarray(b_new, jnp.float32),
-        jnp.asarray(hosted_j),
-    )
+    # one jitted program applies every state mutation, fed by ONE packed
+    # host->device upload (each separate upload/dispatch through the TPU
+    # tunnel costs ~10-30 ms of latency)
+    packed = np.concatenate([H_new, b_new[None, :]], axis=0).astype(np.float32)
+    return _marg_apply(state, jnp.asarray(packed), hosted_dev, slot)
 
 
 def _skew_np(v: "np.ndarray"):
@@ -1062,12 +1065,16 @@ def _skew_np(v: "np.ndarray"):
     return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
 
 
-@jax.jit
-def _marg_apply(state: BAState, slot, H_new, b_new, hosted):
+@functools.partial(jax.jit, static_argnames=("slot",))
+def _marg_apply(state: BAState, packed, hosted, slot: int):
     """Apply the marginalization's state mutations in ONE device program:
     drop hosted points + residuals targeting the slot, invalidate the
-    frame, zero its delta, install the new prior."""
+    frame, zero its delta, install the new prior. `packed` is the (D+1, D)
+    concatenation [H_new; b_new] so the host->device upload is a single
+    transfer; `slot` is static (<= F distinct compiles of a tiny program)."""
     F = state.num_frames
+    H_new = packed[:-1]
+    b_new = packed[-1]
     return state.replace(
         point_valid=state.point_valid & ~hosted,
         res_active=state.res_active & (jnp.arange(F)[None, :] != slot),
