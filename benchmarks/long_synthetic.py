@@ -35,7 +35,7 @@ CFG = DirectConfig(
     tracker_iters=8,
     init_iters=12,
     ba_iters=6,
-    kf_flow_threshold=2.5,
+    kf_flow_threshold=0.55,
     activate_min_traces=2,
     activate_max_relwidth=0.35,
     outlier_energy=300.0,

@@ -1,0 +1,103 @@
+"""End-to-end runtime benchmark on the exported synthetic KITTI sequence.
+
+Unlike bench.py (component timings + amortization model), this drives the
+REAL runtime frame loop — host decisions, transfers, keyframe events,
+marginalization — over the same on-disk sequence the reference binary runs,
+so fps and ATE are directly comparable to the measured reference numbers in
+BASELINE.md. Steady-state fps excludes the first `--warmup` frames (jit
+compiles through the TPU tunnel).
+
+Usage:
+    python benchmarks/runtime_bench.py [--mode direct|hybrid]
+        [--pipelined] [--frames 200] [--warmup 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "kitti_synth", "sequences", "04"))
+    ap.add_argument("--mode", default="direct",
+                    choices=("direct", "hybrid"))
+    ap.add_argument("--pipelined", action="store_true")
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--warmup", type=int, default=20)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    from PIL import Image
+
+    from libcml_tpu.core.camera import PinholeCamera
+    from libcml_tpu.data.kitti import KittiCapture
+    from libcml_tpu.eval.trajectory import ate_rmse
+    from libcml_tpu.models.direct.config import DirectConfig
+
+    cap = KittiCapture(args.seq)
+    calib = cap.calibration
+    cam = calib.pinhole
+    n = min(args.frames, len(cap))
+
+    cfg = DirectConfig(num_levels=4, max_points=2048, points_per_kf=512,
+                       init_points=512, max_frames=7, tracker_iters=10,
+                       ba_iters=4)
+    if args.mode == "hybrid":
+        from libcml_tpu.runtime.hybrid import HybridOdometry
+
+        odo = HybridOdometry(cam, cfg)
+    else:
+        from libcml_tpu.runtime.odometry import DirectOdometry
+
+        odo = DirectOdometry(cam, cfg, pipelined=args.pipelined)
+
+    # preload + decode all frames up front so disk/PIL time is excluded
+    imgs = []
+    img_dir = os.path.join(args.seq, "image_0")
+    files = sorted(os.listdir(img_dir))[:n]
+    for f in files:
+        imgs.append(np.asarray(Image.open(os.path.join(img_dir, f)),
+                               np.float32))
+
+    gt = cap.gt[:n] if cap.gt is not None else None
+
+    t_warm = time.perf_counter()
+    t_steady = None
+    for i, img in enumerate(imgs):
+        if i == args.warmup:
+            t_steady = time.perf_counter()
+        odo.process(img, i * 0.1)
+    ts, est = odo.trajectory_c2w()
+    t_end = time.perf_counter()
+
+    steady_fps = (n - args.warmup) / (t_end - t_steady)
+    total_fps = n / (t_end - t_warm)
+
+    ate = None
+    if gt is not None:
+        ate = float(ate_rmse(est[:, :3, 3], gt[:, :3, 3], with_scale=True))
+
+    out = {
+        "mode": args.mode + ("+pipelined" if args.pipelined else ""),
+        "frames": n,
+        "steady_fps": round(steady_fps, 2),
+        "total_fps": round(total_fps, 2),
+        "ate": round(ate, 4) if ate is not None else None,
+        "segments": odo.segments,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,9 +97,11 @@ class SlamMap:
         self.p_group = np.zeros(P, np.uint32)
         self.p_uncertainty = np.zeros(P)
 
-        # observations: (frame, point) pairs for covisibility
-        self._obs_f: list[int] = []
-        self._obs_p: list[int] = []
+        # observations: (frame, point) pairs for covisibility — growable
+        # numpy arrays with periodic dedup compaction (duplicate pairs add
+        # nothing to covisibility counts but previously grew unboundedly)
+        self._obs = np.zeros((0, 2), np.int64)
+        self._obs_n = 0
 
     # -- frames --------------------------------------------------------------
 
@@ -151,16 +153,31 @@ class SlamMap:
         return T
 
     def trajectory_c2w(self) -> tuple[np.ndarray, np.ndarray]:
+        """All frame poses as camera-to-world, deform chains resolved in a
+        BATCHED fixed-point sweep: each iteration composes every
+        still-anchored pose with its anchor in one einsum, so the cost is
+        O(n * max_chain_depth) array ops instead of a Python loop per frame
+        (the reference's per-frame computeNewCameraFromDeforms equivalent,
+        Frame.cpp:352, done arena-wide; round 4: KITTI-00-scale maps made
+        the per-frame Python loop the bottleneck)."""
         n = self.n_frames
-        out = np.zeros((n, 4, 4))
-        for i in range(n):
-            # SE3 inverse analytically (np.linalg.inv raises on degenerate
-            # poses; a rigid transform inverts as [R^T | -R^T t])
-            w2c = self.pose_w2c(i)
-            R = w2c[:3, :3]
-            out[i] = np.eye(4)
-            out[i, :3, :3] = R.T
-            out[i, :3, 3] = -R.T @ w2c[:3, 3]
+        T = self.f_pose[:n].copy()                  # (n, 4, 4) w2c
+        ref = self.f_ref[:n].copy()                 # (n,)
+        for _ in range(64):
+            m = ref >= 0
+            if not m.any():
+                break
+            r = ref[m]
+            T[m] = np.einsum("nij,njk->nik", T[m], self.f_pose[r])
+            ref[m] = self.f_ref[r]
+        else:
+            raise RuntimeError("deform chain loop")
+        # batched analytic SE3 inverse ([R^T | -R^T t]; np.linalg.inv would
+        # raise on degenerate poses)
+        R = T[:, :3, :3]
+        out = np.tile(np.eye(4), (n, 1, 1))
+        out[:, :3, :3] = np.transpose(R, (0, 2, 1))
+        out[:, :3, 3] = -np.einsum("nji,nj->ni", R, T[:, :3, 3])
         return self.f_timestamp[:n].copy(), out
 
     # -- points --------------------------------------------------------------
@@ -186,33 +203,70 @@ class SlamMap:
     # -- covisibility ---------------------------------------------------------
 
     def add_observations(self, frame: int, points: np.ndarray):
-        self._obs_f.extend([frame] * len(points))
-        self._obs_p.extend(int(p) for p in points)
+        k = len(points)
+        if k == 0:
+            return
+        if self._obs_n + k > self._obs.shape[0]:
+            self._obs = _grow(self._obs, self._obs_n + k)
+        self._obs[self._obs_n:self._obs_n + k, 0] = frame
+        self._obs[self._obs_n:self._obs_n + k, 1] = np.asarray(points)
+        self._obs_n += k
+        # amortized dedup compaction: duplicate (frame, point) pairs carry
+        # no covisibility information; compacting at 2x growth keeps the
+        # log linear in the number of DISTINCT observations
+        if self._obs_n > 4096 and self._obs_n > 2 * getattr(
+                self, "_obs_last_compact", 2048):
+            self._compact_obs()
+
+    def _compact_obs(self):
+        obs = np.unique(self._obs[:self._obs_n], axis=0)
+        self._obs = obs
+        self._obs_n = len(obs)
+        self._obs_last_compact = self._obs_n
 
     def covisibility(self, min_shared: int = 1) -> dict[int, dict[int, int]]:
         """Keyframe covisibility counts from shared observed points
-        (reference: processIndirectCovisiblity, Map.cpp:449)."""
-        if not self._obs_f:
+        (reference: processIndirectCovisiblity, Map.cpp:449 — there
+        maintained incrementally per frame pair, Frame.h:502-554; here
+        recomputed on demand, fully vectorized: dedupe pairs, sort by point,
+        expand each point's frame-set into its pairwise products with
+        repeat/tile index algebra, then one bincount over pair keys. Cost is
+        O(sum k_p^2) array work with no Python loop over points (round 4:
+        the nested-loop version was quadratic pain at KITTI-00 scale)."""
+        if self._obs_n == 0:
             return {}
-        f = np.asarray(self._obs_f)
-        p = np.asarray(self._obs_p)
+        obs = np.unique(self._obs[:self._obs_n], axis=0)   # sorted by (f, p)
+        f, p = obs[:, 0], obs[:, 1]
         order = np.argsort(p, kind="stable")
         f, p = f[order], p[order]
+        # segment bookkeeping per point
+        seg_id = np.concatenate([[0], np.cumsum(p[1:] != p[:-1])])
+        k = np.bincount(seg_id)                    # frames per point
+        seg_start = np.concatenate([[0], np.cumsum(k[:-1])])
+        # pair expansion: element i (in segment s, local index w) pairs with
+        # all k[s] members of its segment
+        reps = k[seg_id]                           # pairs per element
+        A = np.repeat(f, reps)                     # left frame of each pair
+        pair_seg = np.repeat(seg_id, reps)         # segment of each pair
+        # local index of the right partner cycles 0..k-1 within each block
+        block_start = np.concatenate([[0], np.cumsum(reps[:-1])])
+        within = np.arange(reps.sum()) - np.repeat(block_start, reps)
+        B = f[seg_start[pair_seg] + within]        # right frame of each pair
+        keep = A != B
+        A, B = A[keep], B[keep]
+        if len(A) == 0:
+            return {}
+        # count (A, B) pairs with one bincount over compressed keys
+        fu, inv = np.unique(np.stack([A, B]), return_inverse=True)
+        inv = inv.reshape(2, -1)
+        nf = len(fu)
+        counts = np.bincount(inv[0] * nf + inv[1], minlength=nf * nf)
+        C = counts.reshape(nf, nf)
+        ai, bi = np.nonzero(C >= min_shared)
         out: dict[int, dict[int, int]] = {}
-        start = 0
-        for end in np.flatnonzero(np.diff(p)).tolist() + [len(p) - 1]:
-            fs = np.unique(f[start : end + 1])
-            for a in fs:
-                for b in fs:
-                    if a != b:
-                        out.setdefault(int(a), {}).setdefault(int(b), 0)
-                        out[int(a)][int(b)] += 1
-            start = end + 1
-        if min_shared > 1:
-            out = {
-                a: {b: c for b, c in row.items() if c >= min_shared}
-                for a, row in out.items()
-            }
+        for a, b, c in zip(fu[ai].tolist(), fu[bi].tolist(),
+                           C[ai, bi].tolist()):
+            out.setdefault(a, {})[b] = c
         return out
 
     # -- groundtruth error (live ATE/RPE) -------------------------------------

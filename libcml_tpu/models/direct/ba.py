@@ -982,14 +982,24 @@ def marginalize_frame_f64(
     scale drift per marginalization. The reference runs this math in double
     (scalar_t = double, types.h:365); we do the same where it matters while
     keeping every hot loop f32/TPU-resident (see _marg_pieces for the
-    device/host split)."""
-    F, P = state.num_frames, state.num_points
-    D = F * _D
-    slot = int(slot)
+    device/host split).
 
+    This synchronous wrapper = dispatch pieces + host Schur + apply; the
+    runtime instead calls the three stages asynchronously across frames
+    (runtime/odometry.py _start_async_marg / _complete_pending_marg)."""
+    slot = int(slot)
+    pieces_dev = _marg_pieces(state, images, cam, cfg, jnp.asarray(slot))
+    packed, hosted_dev = marg_host_schur(pieces_dev, slot, cfg)
+    return _marg_apply(state, jnp.asarray(packed), hosted_dev, slot)
+
+
+def marg_host_schur(pieces_dev, slot: int, cfg: DirectConfig):
+    """Host f64 half of marginalization: consume the device pieces, run the
+    cancellation-sensitive Schur/nullspace/PSD algebra in numpy float64,
+    return (packed [H_new; b_new] float32 ndarray, device-resident hosted
+    mask) ready for _marg_apply / _marg_finish."""
     import numpy as np
 
-    pieces_dev = _marg_pieces(state, images, cam, cfg, jnp.asarray(slot))
     hosted_dev = pieces_dev[4]  # stays device-resident for _marg_apply
     # ONE bulk fetch of exactly what the host f64 algebra consumes; `hosted`
     # (P bools) never crosses the boundary at all (round 4: the previous
@@ -999,6 +1009,8 @@ def marginalize_frame_f64(
      T_R, T_t, fv, delta, ab_fej, H_m_f32, b_m_f32) = jax.device_get(
         pieces_dev[:4] + pieces_dev[5:]
     )
+    D = H_m_f32.shape[0]
+    F = D // _D
     H_pts, b_pts, H_corr, b_corr = (
         np.asarray(x, np.float64) for x in (H_pts, b_pts, H_corr, b_corr)
     )
@@ -1052,11 +1064,10 @@ def marginalize_frame_f64(
     ew = np.maximum(ew, 0.0)
     H_new = (V * ew[None, :]) @ V.T
 
-    # one jitted program applies every state mutation, fed by ONE packed
-    # host->device upload (each separate upload/dispatch through the TPU
-    # tunnel costs ~10-30 ms of latency)
+    # ONE packed host->device upload (each separate upload/dispatch through
+    # the TPU tunnel costs ~10-30 ms of latency)
     packed = np.concatenate([H_new, b_new[None, :]], axis=0).astype(np.float32)
-    return _marg_apply(state, jnp.asarray(packed), hosted_dev, slot)
+    return packed, hosted_dev
 
 
 def _skew_np(v: "np.ndarray"):

@@ -84,6 +84,11 @@ class DirectConfig:
 
     # tracer (epipolar search)
     trace_steps: int = 24         # discretized epipolar samples
+    trace_recent_rows: int = 3    # only the R most-recently-seeded immature
+                                  # rows are traced each frame (candidates
+                                  # mature or die within a few keyframes of
+                                  # seeding; tracing the full F-row arena
+                                  # costs F/R x for masked-dead work)
     trace_gn_iters: int = 3
     trace_min_quality: float = 1.5  # best/second-best SSD ratio
 
@@ -110,9 +115,18 @@ class DirectConfig:
                                   # library runtime restarts a new segment
                                   # unless asked to stop
 
-    # keyframe decision (direct/Tracking.cpp:4 flow+brightness criterion)
-    kf_flow_weight: float = 1.0
-    kf_flow_threshold: float = 1.0
+    # keyframe decision (direct/Tracking.cpp:4 flow+brightness criterion).
+    # Score mirrors the reference's resolution-normalized form:
+    #   0.04*(640+480)*flow_T/(w+h) + 0.02*(640+480)*flow_RT/(w+h)
+    #   + 2*|log a_rel|  >  kf_flow_threshold (the dsoKeyframeWeight knob)
+    # (direct/Tracking.cpp:28-41) — without the (w+h) normalization a VGA
+    # run keyframes every frame (round 4: measured 14 px/frame flow vs an
+    # unnormalized threshold of 1).
+    kf_flow_weight: float = 1.0       # legacy scale on the flow score
+    kf_flow_threshold: float = 1.0    # = reference dsoKeyframeWeight
+    kf_shift_weight_t: float = 0.04 * 1120.0
+    kf_shift_weight_rt: float = 0.02 * 1120.0
+    kf_affine_weight: float = 2.0
     kf_brightness_weight: float = 0.5
     kf_point_ratio: float = 0.55  # new KF when tracked points fall below
                                   # this fraction of the reference set

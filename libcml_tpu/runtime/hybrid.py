@@ -360,6 +360,9 @@ class HybridOdometry(DirectOdometry):
             self._immature, jnp.asarray(self._kf_slot), pyr[0],
             rho_lo, rho_hi, cfg,
         )
+        self._push_recent_row(jnp.asarray(self._kf_slot, jnp.int32))
+        self._win_count = 2
+        self._pending_marg = None
         self._T_prev = self._kf_T
         self._T_curr = self._kf_T
         self._frames_since_kf = 0

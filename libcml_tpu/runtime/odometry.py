@@ -44,6 +44,7 @@ from libcml_tpu.models.direct.tracer import (
     mature_mask,
     seed_immatures,
     trace_immatures,
+    trace_immatures_rows,
     trace_points,
 )
 from libcml_tpu.models.direct.tracker import (
@@ -105,6 +106,107 @@ def _track_multi(grad_pyr, cam, ref, T_pred, T_zero, ab_init,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _try_init(state, grad_pyr, cam, cfg: DirectConfig):
     return try_initialize(state, grad_pyr, cam, cfg)
+
+
+def _tree_select(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _frame_step(
+    grad_pyr,
+    cam,
+    ref,
+    immature: ImmatureArena,
+    ba_T: SE3,
+    ba_frame_valid,
+    kf_T: SE3,
+    T_curr: SE3,
+    T_prev: SE3,
+    T_seed: SE3,
+    use_seed,
+    recent_rows,
+    cfg: DirectConfig,
+):
+    """The WHOLE per-frame fast path as one device program: motion-model
+    prediction, single track, on-device suspect test, conditional
+    multi-hypothesis battery (lax.cond — only the taken branch executes),
+    pose-ok gating, world-pose composition, and immature tracing.
+
+    Why one program: through the remote-TPU tunnel each dispatch-and-wait
+    round trip carries a ~25 ms fixed overhead on top of device time
+    (measured round 4: single-shot _track 37 ms vs 9.6 ms pipelined). Fusing
+    track + battery + trace means the host blocks ONCE per frame on a small
+    scalar bundle, and in pipelined mode not even that (the bundle is
+    fetched one frame later while the next frame's program executes). The
+    reference's equivalent control flow is host-side C++ (Hybrid.cpp:167
+    processFrame; DSOTracker.h:238 trackWithMotionModel recovery); here the
+    scalar decisions ride with the math.
+
+    Returns (immature', T_world, T_rel, scalars (10,)):
+        scalars = [num_valid, saturated, flow, energy, ok, suspect,
+                   cov_rot_diag x3, ab_a]  (+ ab separately)
+    """
+    T_delta = T_curr.compose(T_prev.inverse())
+    T_pred_world = T_delta.compose(T_curr)
+    T_pred_world = _tree_select(use_seed, T_seed, T_pred_world)
+    T_init = T_pred_world.compose(kf_T.inverse())
+    T_zero = T_curr.compose(kf_T.inverse())
+    ab0 = jnp.zeros(2, jnp.float32)
+
+    res0 = track(grad_pyr, cam, ref, T_init, ab0, cfg)
+    finite0 = jnp.all(jnp.isfinite(res0.T_ji.t))
+    suspect = (
+        (res0.num_valid < 24)
+        | (res0.saturated >= 0.5 * cfg.fail_saturated)
+        | ~finite0
+    )
+    res = jax.lax.cond(
+        suspect,
+        lambda: track_multi(grad_pyr, cam, ref,
+                            motion_hypotheses(T_init, T_zero), ab0, cfg),
+        lambda: res0,
+    )
+
+    finite = jnp.all(jnp.isfinite(res.T_ji.t)) & jnp.all(
+        jnp.isfinite(res.T_ji.R))
+    pose_ok = (res.num_valid >= 24) & finite & (
+        res.saturated < cfg.fail_saturated)
+    T_world = _tree_select(
+        pose_ok,
+        res.T_ji.compose(kf_T).normalized(),
+        T_pred_world.normalized(),
+    )
+    T_rel = T_world.compose(kf_T.inverse())
+
+    immature = jax.lax.cond(
+        pose_ok,
+        lambda a: trace_immatures_rows(a, recent_rows, ba_T, ba_frame_valid,
+                                       grad_pyr[0], T_world, cam, cfg),
+        lambda a: a,
+        immature,
+    )
+
+    cov_rot = jnp.diagonal(res.cov_pose)[3:6]
+    # resolution-normalized keyframe score (reference:
+    # direct/Tracking.cpp:28-41; a is log-scale so |a| == |log ratio|)
+    flow_t = jnp.sqrt(jnp.maximum(res.flow ** 2 - res.flow_no_trans ** 2,
+                                  0.0))
+    wh = float(cam.width + cam.height)
+    kf_score = (
+        (cfg.kf_shift_weight_t * flow_t
+         + cfg.kf_shift_weight_rt * res.flow) / wh
+        + cfg.kf_affine_weight * jnp.abs(res.ab[0])
+    )
+    n_ref = jnp.sum(ref.valid[0]).astype(jnp.float32)
+    scalars = jnp.concatenate([
+        jnp.asarray([res.num_valid, res.saturated, res.flow, res.energy],
+                    jnp.float32).reshape(-1),
+        jnp.asarray([pose_ok, suspect], jnp.float32),
+        cov_rot.astype(jnp.float32),
+        jnp.asarray([kf_score, n_ref], jnp.float32),
+    ])
+    return immature, T_world, T_rel, res.ab, scalars
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -202,13 +304,66 @@ def _kf_insert_and_ba(
 ):
     """Insert keyframe + run windowed photometric BA + outlier ejection —
     one compiled program per keyframe event. (Point activation happens
-    separately from the immature arena, before this call.)"""
+    separately from the immature arena, before this call.) Also returns the
+    new keyframe's OPTIMIZED pose so the host never has to fetch it."""
     window, slot = win_mod.add_keyframe(window, grad0, T_new, ab_new, frame_id)
     # fresh Jacobians once per keyframe event (prior shifted exactly)
     window = window.replace(ba=ba_mod.relinearize(window.ba))
     new_ba, energy = ba_mod.run_ba(window.ba, window.images, cam, cfg)
     new_ba = ba_mod.update_residual_status(new_ba, window.images, cam, cfg)
-    return window.replace(ba=new_ba), slot, energy
+    T_kf = jax.tree.map(lambda x: x[slot], new_ba.T)
+    return window.replace(ba=new_ba), slot, energy, T_kf
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _activate_and_clear(window: win_mod.Window, immature: ImmatureArena,
+                        cfg: DirectConfig):
+    """Activate every matured immature candidate into the BA arena and
+    clear them — the per-host-slot loop is unrolled INSIDE the program
+    (F is static), replacing F separate dispatches + a host fetch of the
+    readiness mask (reference: DSOTracer::activatePoints,
+    DSOTracer.cpp:59)."""
+    ready, rho_mid = mature_mask(immature, cfg)
+    for f in range(cfg.max_frames):
+        window = win_mod.add_points(
+            window, jnp.asarray(f), immature.uv[f], rho_mid[f], ready[f], cfg
+        )
+    immature = immature.replace(valid=immature.valid & ~ready)
+    return window, immature
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _refresh_after_kf(window: win_mod.Window, slot, kf_pyr,
+                      immature: ImmatureArena, cam, cfg: DirectConfig):
+    """Post-keyframe refresh as ONE program: rebuild the tracker reference
+    from the window points projected into the new keyframe, and seed fresh
+    immature candidates on it (makeCoarseDepthL0 + makeNewTraces)."""
+    uv_l, rho_l, ok = _window_points_in_frame.__wrapped__(window, slot, cam,
+                                                         cfg)
+    ref = make_tracker_ref(kf_pyr, cam, uv_l, rho_l, ok, cfg)
+    rho_lo, rho_hi = _working_rho_range.__wrapped__(window.ba, cfg)
+    uv, valid, _ = select_points(kf_pyr[0], cfg.points_per_kf)
+    immature = seed_immatures(immature, slot, kf_pyr[0], uv, valid,
+                              rho_lo, rho_hi)
+    return ref, immature
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "slot"))
+def _marg_finish(window: win_mod.Window, immature: ImmatureArena,
+                 packed, hosted, slot: int, cfg: DirectConfig):
+    """Apply a completed asynchronous marginalization in one program: the
+    new prior + state drops (ba._marg_apply), the window frame-id slot, and
+    the marginalized host's immature candidates."""
+    new_ba = ba_mod._marg_apply.__wrapped__(window.ba, packed, hosted, slot)
+    F = new_ba.num_frames
+    window = window.replace(
+        ba=new_ba,
+        frame_id=jnp.where(jnp.arange(F) == slot, -1, window.frame_id),
+    )
+    immature = immature.replace(
+        valid=immature.valid.at[slot].set(False)
+    )
+    return window, immature
 
 
 def _marginalize(window: win_mod.Window, latest_slot, cam, cfg: DirectConfig):
@@ -244,7 +399,8 @@ class DirectOdometry:
     """
 
     def __init__(self, cam: PinholeCamera | Calibration,
-                 cfg: DirectConfig | None = None, depth_prior=None):
+                 cfg: DirectConfig | None = None, depth_prior=None,
+                 pipelined: bool = False):
         # a full Calibration carries the rectification remap + photometric
         # response/vignette, applied on device to every incoming frame; a
         # bare PinholeCamera means frames arrive already ideal
@@ -259,6 +415,21 @@ class DirectOdometry:
         # (reference: NN::Precomputed / Midas seeding of DSOInitializer,
         # Hybrid.cpp:469-473); callable (image, frame_idx, path) -> map|None
         self.depth_prior = depth_prior
+        # pipelined mode: the per-frame scalar fetch lags one frame so the
+        # device always has the next frame's fused step queued before the
+        # host blocks — hides the per-dispatch tunnel overhead; process()
+        # then reports the PREVIOUS frame's stats (the reference's threaded
+        # mapping mode has the same one-frame observability lag)
+        self.pipelined = pipelined
+        self._pending: list[dict] = []
+        self._pending_marg = None     # in-flight async marginalization
+        self._win_count = 0           # host mirror of window occupancy
+        self._n_ref = 1
+        # the R most-recently-seeded immature rows — the only rows the
+        # per-frame tracer sweeps (see trace_immatures_rows)
+        self._recent_rows = jnp.full(
+            (min(self.cfg.trace_recent_rows, self.cfg.max_frames),),
+            -1, jnp.int32)
         self.state = "INIT_FIRST"
         self.frame_idx = -1
 
@@ -306,21 +477,32 @@ class DirectOdometry:
 
     # -- helpers ------------------------------------------------------------
 
-    def _record(self, ts: float, kf_id: int, T_rel: SE3):
-        """Record the current frame's pose in the map, relative to keyframe
-        `kf_id`. Re-recording the same frame (keyframe promotion, restart
-        anchoring) updates its map entry in place."""
+    def _record(self, ts: float, kf_id: int, T_rel: SE3,
+                frame_idx: int | None = None):
+        """Record a frame's pose in the map, relative to keyframe `kf_id`.
+        Re-recording the same frame (keyframe promotion, restart anchoring)
+        updates its map entry in place. `frame_idx` defaults to the current
+        frame (pipelined finalize passes the lagged frame's own index)."""
+        if frame_idx is None:
+            frame_idx = self.frame_idx
+        # accepts an SE3 OR a plain (R, t) numpy pair — callers that already
+        # fetched the pose must NOT wrap it back into device arrays (a
+        # wrap-then-read round trip costs ~50 ms through the tunnel)
+        if isinstance(T_rel, tuple):
+            R_np, t_np = T_rel
+        else:
+            R_np, t_np = np.asarray(T_rel.R), np.asarray(T_rel.t)
         M = np.eye(4)
-        M[:3, :3] = np.asarray(T_rel.R)
-        M[:3, 3] = np.asarray(T_rel.t)
+        M[:3, :3] = R_np
+        M[:3, 3] = t_np
         ref = self._fid2map.get(kf_id, -1)
-        existing = self._fid2map.get(self.frame_idx)
+        existing = self._fid2map.get(frame_idx)
         if existing is not None:
             self.map.set_pose(existing, M, ref)
         else:
             idx = self.map.add_frame(ts, M, ref_frame=ref,
                                      gt_c2w=self._cur_gt)
-            self._fid2map[self.frame_idx] = idx
+            self._fid2map[frame_idx] = idx
 
     def _set_abs_pose(self, frame_idx: int, T: SE3, keyframe: bool = False):
         """Write an ABSOLUTE pose for a frame's map entry (keyframes and
@@ -356,7 +538,7 @@ class DirectOdometry:
                 self.map.set_keyframe(i)
                 self.map.f_group[i] |= np.uint32(kf_bit)
         # refresh the latest-KF pose used for composing tracked poses
-        s = self._kf_slot
+        s = int(self._kf_slot)
         self._kf_T = SE3(R=jnp.asarray(R[s]), t=jnp.asarray(t[s]))
 
     # -- main entry ----------------------------------------------------------
@@ -449,6 +631,9 @@ class DirectOdometry:
 
         self._kf_slot = int(slot1)
         self._kf_id = self.frame_idx
+        self._win_count = 2
+        self._pending_marg = None
+        self._push_recent_row(jnp.asarray(int(slot1), jnp.int32))
         self._kf_pyr = pyr
         self._kf_grad0_prev = self._first_pyr[0]
         self._kf_ab = ist.ab
@@ -475,97 +660,102 @@ class DirectOdometry:
         self._tracker_ref = _make_ref(
             self._kf_pyr, self.cam, uv_l, rho_l, ok, self.cfg
         )
+        # cached reference point count for the KF point-ratio rule (one
+        # sync per keyframe instead of one per frame)
+        self._n_ref = max(int(jnp.sum(self._tracker_ref.valid[0])), 1)
 
     def _track_frame(self, pyr, img, timestamp, T_seed: SE3 | None = None
                      ) -> dict:
+        """Per-frame tracking: ONE fused device program (_frame_step) does
+        motion-model prediction, track, on-device suspect test + conditional
+        recovery battery, pose gating, and immature tracing. The host fetches
+        a small scalar bundle to run the keyframe/failure state machine —
+        immediately in sequential mode, one frame later in pipelined mode
+        (so the device queue never drains; see _frame_step docstring for the
+        measured dispatch-latency rationale)."""
         cfg, cam = self.cfg, self.cam
-        # constant-velocity prediction: T_pred = (T_curr T_prev^-1) T_curr;
-        # an external seed (e.g. the hybrid's PnP pose) replaces the
-        # prediction in the hypothesis battery but leaves the velocity
-        # model itself untouched
-        T_delta = self._T_curr.compose(self._T_prev.inverse())
-        T_pred = T_delta.compose(self._T_curr)
-        if T_seed is not None:
-            T_pred = T_seed
-        T_init = T_pred.compose(self._kf_T.inverse())
-        T_zero = self._T_curr.compose(self._kf_T.inverse())
-
-        # fast path: ONE track from the motion-model prediction (the
-        # reference's standard per-frame path); the multi-hypothesis battery
-        # runs only when that track looks bad (reference: the 27-candidate
-        # trackWithMotionModel recovery, DSOTracker.h:238 — a RECOVERY tool,
-        # not the per-frame cost). The battery costs ~8x the single track.
+        # complete the previous keyframe's async marginalization BEFORE
+        # dispatching this frame, so the step sees the post-marginalization
+        # window — a deterministic completion point (checkpoint-resume then
+        # replays identically; the pieces have had a full frame to compute,
+        # so only the small ready transfer remains)
+        self._complete_pending_marg()
+        use_seed = T_seed is not None
+        seed = T_seed if use_seed else SE3.identity()
         with self.sheet.timer("time_track").frame(self.frame_idx):
-            res = _track(pyr, cam, self._tracker_ref, T_init,
-                         jnp.zeros(2, jnp.float32), cfg)
-            suspect = (
-                int(res.num_valid) < 24
-                or float(res.saturated) >= 0.5 * cfg.fail_saturated
-                or not bool(np.all(np.isfinite(np.asarray(res.T_ji.t))))
+            imm2, T_world, T_rel, ab, scalars = _frame_step(
+                pyr, cam, self._tracker_ref, self._immature,
+                self._window.ba.T, self._window.ba.frame_valid,
+                self._kf_T, self._T_curr, self._T_prev,
+                seed, jnp.asarray(use_seed), self._recent_rows, cfg,
             )
-            if suspect:
-                res = _track_multi(pyr, cam, self._tracker_ref, T_init,
-                                   T_zero, jnp.zeros(2, jnp.float32), cfg)
+        self._immature = imm2
+        self._T_prev = self._T_curr
+        self._T_curr = T_world
+        entry = {
+            "frame_idx": self.frame_idx, "ts": timestamp, "pyr": pyr,
+            "T_world": T_world, "T_rel": T_rel, "ab": ab,
+            "scalars": scalars, "kf_id": self._kf_id,
+        }
+        if self.pipelined:
+            self._pending.append(entry)
+            if len(self._pending) > 1:
+                out = self._finalize_frame(self._pending.pop(0))
+                self.stats.append(out)
+                # adaptive depth: when tracking shows stress (failed pose or
+                # the recovery battery fired), fall back to lag-0 for the
+                # in-flight frame so the state machine reacts with fresh —
+                # not speculative — state; healthy frames keep the pipeline
+                # full (stalls only when the extra latency actually matters)
+                if not out.get("ok", True) or out.get("suspect", False):
+                    self._flush_pending()
+                return out
+            return {"state": "TRACKING", "ok": True, "kf": False,
+                    "pending": True}
+        out = self._finalize_frame(entry)
+        self.stats.append(out)
+        return out
 
-        num_valid = int(res.num_valid)
-        # failure = too few geometrically valid points, a non-finite pose,
-        # or photometric saturation (most residuals past the outlier energy
-        # — a blackout / violent exposure change keeps points in-bounds, so
-        # the count alone cannot catch it; reference: the tracker-residual
-        # criteria feeding the failure counter, Hybrid.cpp:214-222)
-        pose_ok = (
-            num_valid >= 24
-            and bool(np.all(np.isfinite(np.asarray(res.T_ji.t))))
-            and bool(np.all(np.isfinite(np.asarray(res.T_ji.R))))
-            and float(res.saturated) < cfg.fail_saturated
-        )
+    def _finalize_frame(self, entry: dict) -> dict:
+        """Consume one frame's device results: record the pose, run the
+        failure counter / LOST transition, decide and execute the keyframe
+        event (reference: the scalar tail of Hybrid.cpp:167 processFrame)."""
+        cfg = self.cfg
+        fidx, timestamp, pyr = entry["frame_idx"], entry["ts"], entry["pyr"]
+        sc, rel_R, rel_t = jax.device_get(
+            (entry["scalars"], entry["T_rel"].R, entry["T_rel"].t))
+        num_valid = int(sc[0])
+        saturated = float(sc[1])
+        flow = float(sc[2])
+        energy = float(sc[3])
+        pose_ok = bool(sc[4] > 0.5) and bool(
+            np.all(np.isfinite(rel_t)) and np.all(np.isfinite(rel_R)))
+        self._record(timestamp, entry["kf_id"],
+                     (np.asarray(rel_R), np.asarray(rel_t)), frame_idx=fidx)
         if pose_ok:
-            # normalized(): the pose feeds the next frame's squared
-            # motion-model prediction, which doubles any orthonormality
-            # defect per frame (see SE3.normalized)
-            T_world = res.T_ji.compose(self._kf_T).normalized()
             self._track_fails = 0
         else:
-            # tracking failure: fall back to the motion-model prediction and
-            # freeze the velocity (reference: tracking-failure counter +
-            # recovery path, Hybrid.cpp:214-222)
-            T_world = T_pred.normalized()
             self._track_fails += 1
             log.warn("direct tracking failed (%d valid points, fail #%d)",
                      num_valid, self._track_fails)
             if self._track_fails >= cfg.max_track_fails:
-                self._T_prev = self._T_curr
-                self._T_curr = T_world
-                self._record(timestamp, self._kf_id,
-                             T_world.compose(self._kf_T.inverse()))
-                out = self._on_tracking_lost(pyr, timestamp)
-                self.stats.append(out)
-                return out
-        self._T_prev = self._T_curr
-        self._T_curr = T_world
-        self._record(timestamp, self._kf_id,
-                     T_world.compose(self._kf_T.inverse()))
+                # drop any in-flight speculative frames: the segment is over
+                self._pending.clear()
+                return self._on_tracking_lost(pyr, timestamp)
 
-        # trace all immature candidates against this frame (traceNewCoarse —
-        # every frame narrows the intervals, keyframe or not)
-        if pose_ok:
-            self._immature = _trace_immatures(
-                self._immature, self._window.ba.T, self._window.ba.frame_valid,
-                pyr[0], T_world, cam, cfg,
-            )
-
-        flow = float(res.flow)
-        energy = float(res.energy)
         self._frames_since_kf += 1
-        # KF triggers: optical flow (DSO flow criterion), staleness, and a
-        # tracked-point-ratio rule — during fast turns the reference set
-        # leaves the field of view within a few frames and flow alone reacts
-        # too late (reference: directNeedNewKeyFrame flow+brightness,
-        # direct/Tracking.cpp:4; the ratio rule is indirectNeedNewKeyFrame's
-        # ORB-SLAM-style refKF criterion applied to the direct point set)
-        n_ref = max(int(jnp.sum(self._tracker_ref.valid[0])), 1)
+        # KF triggers: the reference's resolution-normalized flow score
+        # (computed on device in _frame_step), staleness, and a tracked-
+        # point-ratio rule — during fast turns the reference set leaves the
+        # field of view within a few frames and flow alone reacts too late
+        # (reference: directNeedNewKeyFrame flow+brightness,
+        # direct/Tracking.cpp:28-41; the ratio rule is
+        # indirectNeedNewKeyFrame's ORB-SLAM-style refKF criterion applied
+        # to the direct point set)
+        kf_score = float(sc[9])
+        n_ref = max(int(sc[10]), 1)
         need_kf = pose_ok and (
-            cfg.kf_flow_weight * flow > cfg.kf_flow_threshold
+            cfg.kf_flow_weight * kf_score > cfg.kf_flow_threshold
             or self._frames_since_kf >= 8
             or num_valid < cfg.kf_point_ratio * n_ref
         )
@@ -578,17 +768,29 @@ class DirectOdometry:
             "ok": pose_ok,
             # statistics feeding the MOD-SLAM decision logic (Research.cpp):
             # rotational covariance tail + saturated-residual ratio
-            "cov_rot_diag": np.diag(np.asarray(res.cov_pose))[3:],
-            "saturated": float(res.saturated),
+            "cov_rot_diag": np.asarray(sc[6:9]),
+            "saturated": saturated,
+            "suspect": bool(sc[5] > 0.5),
         }
-        self._last_track_ab = np.asarray(res.ab)
+        self._last_track_ab = np.asarray(entry["ab"])
         if need_kf:
-            with self.sheet.timer("time_keyframe").frame(self.frame_idx):
-                self._make_keyframe(pyr, res, timestamp)
+            with self.sheet.timer("time_keyframe").frame(fidx):
+                self._make_keyframe(pyr, entry["ab"], timestamp,
+                                    T_new=entry["T_world"], frame_idx=fidx)
         for k in ("flow", "energy", "num_valid", "saturated"):
-            self.sheet.push(k, self.frame_idx, out[k])
-        self.stats.append(out)
+            self.sheet.push(k, fidx, out[k])
         return out
+
+    def _flush_pending(self) -> list[dict]:
+        """Finalize every in-flight pipelined frame (end of stream, or
+        before any consumer that needs the full trajectory)."""
+        outs = []
+        while self._pending:
+            out = self._finalize_frame(self._pending.pop(0))
+            self.stats.append(out)
+            outs.append(out)
+        self._complete_pending_marg()
+        return outs
 
     # -- failure handling -----------------------------------------------------
 
@@ -640,6 +842,10 @@ class DirectOdometry:
         current frame becomes the new first frame; the trajectory records
         continue seamlessly (composed through the anchor keyframe)."""
         self.segments += 1
+        self._pending.clear()
+        self._pending_marg = None
+        self._win_count = 0
+        self._recent_rows = jnp.full_like(self._recent_rows, -1)
         log.important("restarting map: segment %d anchored at frame %d",
                       self.segments, self.frame_idx)
         anchor = anchor.normalized()
@@ -661,80 +867,119 @@ class DirectOdometry:
         # this frame becomes the segment anchor: absolute pose in the map
         self._set_abs_pose(self.frame_idx, anchor)
 
-    def _make_keyframe(self, pyr, res: TrackResult, timestamp):
+    def _make_keyframe(self, pyr, ab, timestamp, T_new: SE3 | None = None,
+                       frame_idx: int | None = None):
+        """Keyframe event. `T_new`/`frame_idx` identify the promoted frame
+        (they default to the current tracking state; the pipelined finalize
+        passes the lagged frame's own pose and index)."""
         cfg, cam = self.cfg, self.cam
+        if T_new is None:
+            T_new = self._T_curr
+        if frame_idx is None:
+            frame_idx = self.frame_idx
+        # finish any in-flight marginalization first: its pieces were
+        # dispatched at the previous keyframe event and have had >= 1 frame
+        # of tracking to complete, so the fetch is (nearly) free — and it
+        # guarantees the window has a free slot for the insert below
+        self._complete_pending_marg()
         window = self._window
 
         # activate mature immature candidates into the BA FIRST
         # (activatePoints): their depths are constrained by every frame
-        # traced since creation, not by a single adjacent-frame pair; doing
-        # this before marginalization lets a to-be-dropped host's mature
-        # candidates survive as map points
-        ready, rho_mid = mature_mask(self._immature, cfg)
-        ready_np = np.asarray(jnp.any(ready, axis=1))
-        for f in range(cfg.max_frames):
-            if ready_np[f]:
-                window = _activate_points(
-                    window, jnp.asarray(f), self._immature.uv[f],
-                    rho_mid[f], ready[f], cfg,
-                )
-        self._immature = self._immature.replace(
-            valid=self._immature.valid & ~ready
-        )
+        # traced since creation, not by a single adjacent-frame pair
+        window, self._immature = _activate_and_clear(window, self._immature,
+                                                     cfg)
 
-        # keep the window under budget (marginalize BEFORE insert, reference:
-        # flagFramesForMarginalization runs so the insert always has a slot);
-        # immature candidates hosted in a marginalized slot die with it
-        while int(win_mod.num_valid_frames(window)) >= cfg.max_frames:
-            window, mslot = _marginalize(
-                window, jnp.asarray(self._kf_slot), cam, cfg
-            )
-            self._immature = self._immature.replace(
-                valid=self._immature.valid.at[int(mslot)].set(False)
-            )
-
-        T_new = self._T_curr
-        ab = res.ab if res is not None else jnp.asarray(
-            getattr(self, "_last_track_ab", np.zeros(2, np.float32))
-        )
-        ab_new = self._kf_ab + ab
-        window, slot, energy = _kf_insert_and_ba(
+        if ab is None:
+            ab = jnp.asarray(
+                getattr(self, "_last_track_ab", np.zeros(2, np.float32)))
+        ab_new = self._kf_ab + jnp.asarray(ab)
+        window, slot, energy, T_kf = _kf_insert_and_ba(
             window, pyr[0], T_new, ab_new,
-            jnp.asarray(self.frame_idx, jnp.int32), cam, cfg,
+            jnp.asarray(frame_idx, jnp.int32), cam, cfg,
         )
 
         self._window = window
+        self._win_count += 1
         self._kf_grad0_prev = self._kf_pyr[0]
         self._kf_pyr = pyr
-        self._kf_slot = int(slot)
-        self._kf_id = self.frame_idx
+        self._kf_slot = slot          # device scalar — never fetched here
+        self._kf_id = frame_idx
         self._kf_ab = ab_new
+        self._kf_T = T_kf             # optimized pose, device-resident
         self._frames_since_kf = 0
-        self._sync_kf_poses()
-        # tracking continuity: current pose snaps to the optimized KF pose
-        self._T_curr = self._kf_T
-        self._rebuild_tracker_ref()
+        # the frame's map entry is marked KEYFRAME now; its absolute
+        # optimized pose (and all window keyframe poses) are written by the
+        # LAZY _sync_kf_poses at export/error/checkpoint time — per-KF
+        # fetching of window poses was a measured ~100 ms of blocking
+        # transfers per event through the tunnel
+        i = self._fid2map.get(frame_idx)
+        if i is not None:
+            self.map.set_keyframe(i)
+            self.map.f_group[i] |= np.uint32(
+                self.map.groups.frame_group("DIRECTKEYFRAME"))
+        # tracking continuity: current pose snaps to the optimized KF pose —
+        # except when later frames are already in flight (pipelined mode):
+        # their speculative poses extend past this keyframe, so snapping
+        # back would feed a stale pose into the motion model
+        if not self._pending:
+            self._T_curr = self._kf_T
+        # rebuild tracker reference + seed new immatures, one fused program
+        self._tracker_ref, self._immature = _refresh_after_kf(
+            window, slot, pyr, self._immature, cam, cfg)
+        self._push_recent_row(slot)
 
-        # seed fresh immature candidates on the new keyframe (makeNewTraces)
-        rho_lo, rho_hi = _working_rho_range(window.ba, cfg)
-        self._immature = _seed_new_immatures(
-            self._immature, jnp.asarray(self._kf_slot), pyr[0],
-            rho_lo, rho_hi, cfg,
-        )
-        # this frame's map entry became a keyframe: _sync_kf_poses above
-        # already wrote its absolute optimized pose + KEYFRAME group
+        # window full after the insert: start the ASYNC marginalization now
+        # (reference order — directMap runs BA, then tryMarginalize,
+        # direct/Mapping.cpp:47; the result lands before the next keyframe)
+        if self._win_count >= cfg.max_frames:
+            self._start_async_marg()
+
+    def _push_recent_row(self, slot):
+        """Record `slot` (device scalar ok) as the most recently seeded
+        immature row; the tracer only sweeps these (trace_immatures_rows)."""
+        self._recent_rows = jnp.concatenate(
+            [jnp.reshape(jnp.asarray(slot, jnp.int32), (1,)),
+             self._recent_rows[:-1]])
+
+    # -- asynchronous marginalization -----------------------------------------
+
+    def _start_async_marg(self):
+        """Dispatch the device half of frame marginalization (slot choice +
+        linearize/contract) WITHOUT blocking; the host f64 Schur completes
+        at the next keyframe event (or flush), by which time the device
+        result is long ready. Hides the dominant keyframe-event line item
+        (~127 ms measured) behind subsequent frames' tracking."""
+        window = self._window
+        slot_dev = win_mod.choose_marginalization_slot(
+            window, jnp.asarray(self._kf_slot))
+        pieces = ba_mod._marg_pieces(window.ba, window.images, self.cam,
+                                     self.cfg, slot_dev)
+        self._pending_marg = (pieces, slot_dev)
+
+    def _complete_pending_marg(self):
+        if self._pending_marg is None:
+            return
+        pieces, slot_dev = self._pending_marg
+        self._pending_marg = None
+        slot = int(jax.device_get(slot_dev))
+        packed, hosted = ba_mod.marg_host_schur(pieces, slot, self.cfg)
+        self._window, self._immature = _marg_finish(
+            self._window, self._immature, jnp.asarray(packed), hosted,
+            slot, self.cfg)
+        self._win_count -= 1
 
     # -- checkpoint / resume --------------------------------------------------
 
     _CKPT_SCALARS = (
         "state", "frame_idx", "segments", "stopped", "_anchor_kf",
         "_kf_slot", "_kf_id", "_frames_since_kf", "_track_fails",
-        "_lost_frames", "_fid2map", "_first_ts",
+        "_lost_frames", "_fid2map", "_first_ts", "_win_count",
     )
     _CKPT_PYTREES = (
         "_window", "_immature", "_init_state", "_first_pyr", "_kf_pyr",
         "_kf_grad0_prev", "_kf_T", "_kf_ab", "_T_prev", "_T_curr",
-        "_restart_anchor",
+        "_restart_anchor", "_recent_rows",
     )
 
     def _ckpt_extra(self) -> dict:
@@ -760,6 +1005,13 @@ class DirectOdometry:
                         for k in self._CKPT_PYTREES},
             "map": self.map,
             "extra": self._ckpt_extra(),
+            # in-flight async marginalization rides along verbatim so the
+            # resumed run completes it at exactly the frame the
+            # uninterrupted run would have (bit-faithful resume)
+            "pending_marg": None if self._pending_marg is None else (
+                to_np(self._pending_marg[0]),
+                int(self._pending_marg[1]),
+            ),
         }
         with open(path, "wb") as f:
             pickle.dump(payload, f)
@@ -780,6 +1032,9 @@ class DirectOdometry:
                 jax.tree.map(jnp.asarray, v) if v is not None else None,
             )
         self.map = payload["map"]
+        pm = payload.get("pending_marg")
+        self._pending_marg = None if pm is None else (
+            jax.tree.map(jnp.asarray, pm[0]), jnp.asarray(pm[1]))
         self._ckpt_restore_extra(payload["extra"])
         if self._window is not None:
             self._rebuild_tracker_ref()
@@ -789,6 +1044,7 @@ class DirectOdometry:
     def trajectory_c2w(self) -> tuple[np.ndarray, np.ndarray]:
         """(timestamps (N,), poses (N, 4, 4) camera-to-world) from the map
         (deform-composed with the final optimized keyframe poses)."""
+        self._flush_pending()
         if self._window is not None:
             self._sync_kf_poses()
         return self.map.trajectory_c2w()
@@ -796,6 +1052,7 @@ class DirectOdometry:
     def live_error(self) -> dict | None:
         """Scale-corrected ATE/RPE against stored groundtruth, from the map
         (reference: Map::refreshErrorFromGroundtruth, Map.cpp:578)."""
+        self._flush_pending()
         if self._window is not None:
             self._sync_kf_poses()
         return self.map.refresh_error_from_groundtruth()
@@ -803,6 +1060,7 @@ class DirectOdometry:
     def export_results(self, out_dir: str, prefix: str = "result"):
         """Five-file trajectory export via the map (reference:
         Map::exportResults, modslam.cpp:393-410)."""
+        self._flush_pending()
         if self._window is not None:
             self._sync_kf_poses()
         self.map.export_results(out_dir, prefix)

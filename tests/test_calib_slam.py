@@ -17,7 +17,7 @@ from libcml_tpu.runtime.calib import CalibSlam
 CFG = DirectConfig(
     num_levels=3, max_points=512, points_per_kf=128, init_points=128,
     max_frames=5, tracker_iters=8, init_iters=12, ba_iters=4,
-    kf_flow_threshold=2.5, activate_min_traces=2,
+    kf_flow_threshold=0.55, activate_min_traces=2,
     activate_max_relwidth=0.35, outlier_energy=300.0,
 )
 

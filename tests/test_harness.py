@@ -21,7 +21,7 @@ from PIL import Image
 CFG = DirectConfig(
     num_levels=3, max_points=1024, points_per_kf=256, init_points=256,
     max_frames=5, tracker_iters=8, init_iters=12, ba_iters=6,
-    kf_flow_threshold=2.5, activate_min_traces=2, activate_max_relwidth=0.35,
+    kf_flow_threshold=0.55, activate_min_traces=2, activate_max_relwidth=0.35,
     outlier_energy=300.0,
 )
 

@@ -84,3 +84,48 @@ def test_gt_error_and_export(tmp_path):
     assert len(ts) == 10
     _, est = m.trajectory_c2w()
     np.testing.assert_allclose(poses[:, :3, 3], est[:, :3, 3], atol=1e-5)
+
+
+def test_covisibility_vectorized_matches_bruteforce():
+    """The repeat/tile pair-expansion must agree with a naive per-point
+    double loop (the pre-round-4 implementation) on random observations."""
+    rng = np.random.default_rng(3)
+    m = SlamMap()
+    for i in range(12):
+        m.add_frame(i * 0.1, np.eye(4))
+    m.add_points(rng.standard_normal((60, 3)))
+    obs = {}
+    for kf in range(12):
+        pts = rng.integers(0, 60, 25)
+        m.add_observations(kf, pts)
+        obs[kf] = set(int(p) for p in pts)
+    got = m.covisibility()
+    for a in range(12):
+        for b in range(12):
+            if a == b:
+                continue
+            want = len(obs[a] & obs[b])
+            have = got.get(a, {}).get(b, 0)
+            assert have == want, (a, b, have, want)
+
+
+def test_map_scales_to_long_sequences():
+    """KITTI-00-scale smoke (scaled to CI budget): deform-chain batch
+    resolution and covisibility must be array-speed, not Python-loop speed
+    (reference keeps covisibility incremental for the same reason,
+    Frame.h:502-554)."""
+    import time
+
+    rng = np.random.default_rng(0)
+    m = SlamMap(cap_frames=4096)
+    for i in range(2000):
+        m.add_frame(i * 0.1, np.eye(4),
+                    ref_frame=-1 if i % 5 == 0 else (i // 5) * 5 // 5)
+    m.add_points(rng.standard_normal((20000, 3)))
+    for kf in range(300):
+        m.add_observations(kf, rng.integers(0, 20000, 150))
+    t0 = time.time()
+    ts, c2w = m.trajectory_c2w()
+    assert c2w.shape == (2000, 4, 4)
+    cov = m.covisibility(min_shared=2)
+    assert time.time() - t0 < 2.0
