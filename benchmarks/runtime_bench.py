@@ -86,7 +86,10 @@ def main() -> None:
 
     ate = None
     if gt is not None:
-        ate = float(ate_rmse(est[:, :3, 3], gt[:, :3, 3], with_scale=True))
+        # align by timestamp (a LOST episode can drop frames)
+        idx = np.clip(np.round(np.asarray(ts) / 0.1).astype(int), 0, n - 1)
+        ate = float(ate_rmse(est[:, :3, 3], gt[idx, :3, 3],
+                             with_scale=True))
 
     out = {
         "mode": args.mode + ("+pipelined" if args.pipelined else ""),

@@ -1076,13 +1076,13 @@ def _skew_np(v: "np.ndarray"):
     return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
 
 
-@functools.partial(jax.jit, static_argnames=("slot",))
-def _marg_apply(state: BAState, packed, hosted, slot: int):
+@jax.jit
+def _marg_apply(state: BAState, packed, hosted, slot):
     """Apply the marginalization's state mutations in ONE device program:
     drop hosted points + residuals targeting the slot, invalidate the
     frame, zero its delta, install the new prior. `packed` is the (D+1, D)
     concatenation [H_new; b_new] so the host->device upload is a single
-    transfer; `slot` is static (<= F distinct compiles of a tiny program)."""
+    transfer; `slot` is traced (ONE compile for all slots)."""
     F = state.num_frames
     H_new = packed[:-1]
     b_new = packed[-1]

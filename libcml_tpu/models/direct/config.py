@@ -83,7 +83,7 @@ class DirectConfig:
     init_smooth_blend: float = 0.0  # per-iteration idepth smoothing blend
 
     # tracer (epipolar search)
-    trace_steps: int = 24         # discretized epipolar samples
+    trace_steps: int = 16         # discretized epipolar samples
     trace_recent_rows: int = 3    # only the R most-recently-seeded immature
                                   # rows are traced each frame (candidates
                                   # mature or die within a few keyframes of

@@ -199,12 +199,18 @@ def _frame_step(
         + cfg.kf_affine_weight * jnp.abs(res.ab[0])
     )
     n_ref = jnp.sum(ref.valid[0]).astype(jnp.float32)
+    # ONE flat bundle = ONE device->host RPC at finalize (each separate
+    # fetch costs ~30 ms fixed latency through the tunnel): 11 scalars,
+    # then T_rel as rows [R(9), t(3)], then ab(2)
     scalars = jnp.concatenate([
         jnp.asarray([res.num_valid, res.saturated, res.flow, res.energy],
                     jnp.float32).reshape(-1),
         jnp.asarray([pose_ok, suspect], jnp.float32),
         cov_rot.astype(jnp.float32),
         jnp.asarray([kf_score, n_ref], jnp.float32),
+        T_rel.R.reshape(-1).astype(jnp.float32),
+        T_rel.t.reshape(-1).astype(jnp.float32),
+        res.ab.reshape(-1).astype(jnp.float32),
     ])
     return immature, T_world, T_rel, res.ab, scalars
 
@@ -348,9 +354,9 @@ def _refresh_after_kf(window: win_mod.Window, slot, kf_pyr,
     return ref, immature
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "slot"))
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _marg_finish(window: win_mod.Window, immature: ImmatureArena,
-                 packed, hosted, slot: int, cfg: DirectConfig):
+                 packed, hosted, slot, cfg: DirectConfig):
     """Apply a completed asynchronous marginalization in one program: the
     new prior + state drops (ba._marg_apply), the window frame-id slot, and
     the marginalized host's immature candidates."""
@@ -361,7 +367,8 @@ def _marg_finish(window: win_mod.Window, immature: ImmatureArena,
         frame_id=jnp.where(jnp.arange(F) == slot, -1, window.frame_id),
     )
     immature = immature.replace(
-        valid=immature.valid.at[slot].set(False)
+        valid=immature.valid & (jnp.arange(immature.valid.shape[0])
+                                != slot)[:, None]
     )
     return window, immature
 
@@ -675,11 +682,11 @@ class DirectOdometry:
         measured dispatch-latency rationale)."""
         cfg, cam = self.cfg, self.cam
         # complete the previous keyframe's async marginalization BEFORE
-        # dispatching this frame, so the step sees the post-marginalization
-        # window — a deterministic completion point (checkpoint-resume then
-        # replays identically; the pieces have had a full frame to compute,
-        # so only the small ready transfer remains)
-        self._complete_pending_marg()
+        # dispatching this frame once the pieces are >= 2 frames old — a
+        # deterministic completion point (checkpoint-resume replays
+        # identically) that gives the keyframe event's program queue time
+        # to drain so the completion fetch finds the pieces ready
+        self._complete_pending_marg(min_age=2)
         use_seed = T_seed is not None
         seed = T_seed if use_seed else SE3.identity()
         with self.sheet.timer("time_track").frame(self.frame_idx):
@@ -702,11 +709,13 @@ class DirectOdometry:
             if len(self._pending) > 1:
                 out = self._finalize_frame(self._pending.pop(0))
                 self.stats.append(out)
-                # adaptive depth: when tracking shows stress (failed pose or
-                # the recovery battery fired), fall back to lag-0 for the
-                # in-flight frame so the state machine reacts with fresh —
-                # not speculative — state; healthy frames keep the pipeline
-                # full (stalls only when the extra latency actually matters)
+                # adaptive depth: fall back to lag-0 when tracking shows
+                # stress (failed pose / recovery battery fired) so the state
+                # machine reacts with fresh — not speculative — state;
+                # healthy frames keep the pipeline full. (KF events don't
+                # flush: the one in-flight frame just tracks the previous
+                # reference, and its stale flow score is ignored for the
+                # next KF decision — see stale_ref in _finalize_frame.)
                 if not out.get("ok", True) or out.get("suspect", False):
                     self._flush_pending()
                 return out
@@ -722,8 +731,9 @@ class DirectOdometry:
         event (reference: the scalar tail of Hybrid.cpp:167 processFrame)."""
         cfg = self.cfg
         fidx, timestamp, pyr = entry["frame_idx"], entry["ts"], entry["pyr"]
-        sc, rel_R, rel_t = jax.device_get(
-            (entry["scalars"], entry["T_rel"].R, entry["T_rel"].t))
+        sc = jax.device_get(entry["scalars"])
+        rel_R = sc[11:20].reshape(3, 3).astype(np.float64)
+        rel_t = sc[20:23].astype(np.float64)
         num_valid = int(sc[0])
         saturated = float(sc[1])
         flow = float(sc[2])
@@ -739,7 +749,14 @@ class DirectOdometry:
             log.warn("direct tracking failed (%d valid points, fail #%d)",
                      num_valid, self._track_fails)
             if self._track_fails >= cfg.max_track_fails:
-                # drop any in-flight speculative frames: the segment is over
+                # record (but do not act on) any in-flight speculative
+                # frames so the trajectory stays complete, then drop them:
+                # the segment is over
+                for e in self._pending:
+                    e_sc = jax.device_get(e["scalars"])
+                    self._record(e["ts"], e["kf_id"],
+                                 (e_sc[11:20].reshape(3, 3),
+                                  e_sc[20:23]), frame_idx=e["frame_idx"])
                 self._pending.clear()
                 return self._on_tracking_lost(pyr, timestamp)
 
@@ -754,7 +771,13 @@ class DirectOdometry:
         # to the direct point set)
         kf_score = float(sc[9])
         n_ref = max(int(sc[10]), 1)
-        need_kf = pose_ok and (
+        # a pipelined in-flight frame tracked against a reference that a
+        # JUST-created keyframe has since replaced carries a stale flow
+        # score (relative to the old ref) — acting on it created a spurious
+        # second keyframe one frame after every real one (round 4: halved
+        # the window lifetime and bled the point population)
+        stale_ref = entry["kf_id"] != self._kf_id
+        need_kf = pose_ok and not stale_ref and (
             cfg.kf_flow_weight * kf_score > cfg.kf_flow_threshold
             or self._frames_since_kf >= 8
             or num_valid < cfg.kf_point_ratio * n_ref
@@ -772,7 +795,7 @@ class DirectOdometry:
             "saturated": saturated,
             "suspect": bool(sc[5] > 0.5),
         }
-        self._last_track_ab = np.asarray(entry["ab"])
+        self._last_track_ab = sc[23:25]   # rides in the bundle — no fetch
         if need_kf:
             with self.sheet.timer("time_keyframe").frame(fidx):
                 self._make_keyframe(pyr, entry["ab"], timestamp,
@@ -955,18 +978,25 @@ class DirectOdometry:
             window, jnp.asarray(self._kf_slot))
         pieces = ba_mod._marg_pieces(window.ba, window.images, self.cam,
                                      self.cfg, slot_dev)
-        self._pending_marg = (pieces, slot_dev)
+        self._pending_marg = (pieces, slot_dev, self.frame_idx)
 
-    def _complete_pending_marg(self):
+    def _complete_pending_marg(self, min_age: int = 0):
+        """Finish the in-flight marginalization. `min_age` > 0 defers
+        completion until the device pieces have had that many frames to
+        compute (the keyframe event queues ~110 ms of programs ahead of
+        them; completing one frame later was measured waiting ~200 ms per
+        keyframe for the queue to drain)."""
         if self._pending_marg is None:
             return
-        pieces, slot_dev = self._pending_marg
+        pieces, slot_dev, born = self._pending_marg
+        if self.frame_idx - born < min_age:
+            return
         self._pending_marg = None
         slot = int(jax.device_get(slot_dev))
         packed, hosted = ba_mod.marg_host_schur(pieces, slot, self.cfg)
         self._window, self._immature = _marg_finish(
             self._window, self._immature, jnp.asarray(packed), hosted,
-            slot, self.cfg)
+            jnp.asarray(slot), self.cfg)
         self._win_count -= 1
 
     # -- checkpoint / resume --------------------------------------------------
@@ -1011,6 +1041,7 @@ class DirectOdometry:
             "pending_marg": None if self._pending_marg is None else (
                 to_np(self._pending_marg[0]),
                 int(self._pending_marg[1]),
+                self._pending_marg[2],
             ),
         }
         with open(path, "wb") as f:
@@ -1034,7 +1065,8 @@ class DirectOdometry:
         self.map = payload["map"]
         pm = payload.get("pending_marg")
         self._pending_marg = None if pm is None else (
-            jax.tree.map(jnp.asarray, pm[0]), jnp.asarray(pm[1]))
+            jax.tree.map(jnp.asarray, pm[0]), jnp.asarray(pm[1]),
+            pm[2] if len(pm) > 2 else self.frame_idx)
         self._ckpt_restore_extra(payload["extra"])
         if self._window is not None:
             self._rebuild_tracker_ref()
