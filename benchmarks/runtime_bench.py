@@ -36,6 +36,13 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--warmup", type=int, default=20)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--no-mixed", action="store_true",
+                    help="hybrid: disable mixed BA (ablation)")
+    ap.add_argument("--force-mode", default=None,
+                    choices=(None, "DIRECT", "INDIRECT"),
+                    help="hybrid: force the pose decision (ablation)")
+    ap.add_argument("--no-force-kf", action="store_true",
+                    help="hybrid: disable the match-collapse forced KF")
     args = ap.parse_args()
 
     from PIL import Image
@@ -52,11 +59,18 @@ def main() -> None:
 
     cfg = DirectConfig(num_levels=4, max_points=2048, points_per_kf=512,
                        init_points=512, max_frames=7, tracker_iters=10,
-                       ba_iters=4)
+                       ba_iters=4, mixed_ba=not args.no_mixed)
     if args.mode == "hybrid":
+        from libcml_tpu.models.hybrid.decision import DecisionConfig
         from libcml_tpu.runtime.hybrid import HybridOdometry
 
-        odo = HybridOdometry(cam, cfg)
+        kw = {}
+        if args.force_mode:
+            kw["force"] = args.force_mode
+        if args.no_force_kf:
+            kw["force_kf_match_ratio"] = 0.0
+        dcfg = DecisionConfig(**kw) if kw else None
+        odo = HybridOdometry(cam, cfg, dcfg=dcfg)
     else:
         from libcml_tpu.runtime.odometry import DirectOdometry
 
@@ -92,7 +106,10 @@ def main() -> None:
                              with_scale=True))
 
     out = {
-        "mode": args.mode + ("+pipelined" if args.pipelined else ""),
+        "mode": args.mode + ("+pipelined" if args.pipelined else "")
+                + ("+nomixed" if args.no_mixed else "")
+                + (f"+force{args.force_mode}" if args.force_mode else "")
+                + ("+nofkf" if args.no_force_kf else ""),
         "frames": n,
         "steady_fps": round(steady_fps, 2),
         "total_fps": round(total_fps, 2),

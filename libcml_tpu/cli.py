@@ -89,7 +89,8 @@ def main(argv=None) -> int:
         if n_done >= limit:
             break
         stats = odo.process(frame.image, frame.timestamp,
-                            gt_pose_c2w=frame.gt_pose_c2w)
+                            gt_pose_c2w=frame.gt_pose_c2w,
+                            exposure=getattr(frame, "exposure", None))
         n_done += 1
         if args.save_images:
             from PIL import Image

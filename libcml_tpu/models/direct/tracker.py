@@ -126,6 +126,7 @@ def _track_level(
     T0: SE3,
     ab0: jax.Array,
     cfg: DirectConfig,
+    ab_center: jax.Array | None = None,
 ):
     """Run cfg.tracker_iters LM iterations at one pyramid level."""
 
@@ -141,6 +142,8 @@ def _track_level(
         n = jnp.maximum(jnp.sum(ok), 1)
         return jnp.sum(jnp.where(ok, ev.energy, 0.0)) / n, ok
 
+    if ab_center is None:
+        ab_center = jnp.zeros_like(ab0)
     E0, _ = total_energy(T0, ab0)
 
     def body(carry):
@@ -152,10 +155,14 @@ def _track_level(
         )
         J = rel_pose_jacobian(ev, color)
         H, b, _ = gauss_newton_system(J, ev.r, ev.w)
-        # small prior keeping affine params near zero (no exposure data)
+        # small prior keeping affine params near their PREDICTION — zero
+        # without exposure data, log(t_j/t_i) when the capture provides
+        # exposure times (reference: Exposure::to(), Exposure.h:118-125,
+        # feeding DSOTracker.cpp:272's initialization)
         prior = jnp.array([0.0] * 6 + [1e-1, 1e-3], dtype=H.dtype)
         H = H + jnp.diag(prior)
-        b = b + prior * jnp.concatenate([jnp.zeros(6, H.dtype), ab])
+        b = b + prior * jnp.concatenate([jnp.zeros(6, H.dtype),
+                                         ab - ab_center])
         dx = _solve_scaled(H, b, lam, cfg)
         T_new = se3_exp(-dx[:6]).compose(T)
         ab_new = ab - dx[6:]
@@ -188,7 +195,7 @@ def _track_level(
 
 
 def motion_hypotheses(T_pred: SE3, T_zero: SE3, n_rot: int = 8,
-                      rot_eps: float = 0.02) -> SE3:
+                      rot_eps: float = 0.02, T_extra: SE3 | None = None) -> SE3:
     """Batched tracker initializations (reference: trackWithMotionModel's
     27-candidate battery, DSOTracker.h:238): the constant-velocity
     prediction, damped/amplified translation variants (0.5x/0.7x/1.3x/2x —
@@ -207,6 +214,12 @@ def motion_hypotheses(T_pred: SE3, T_zero: SE3, n_rot: int = 8,
         scale_t(T_pred, 2.0),
         T_zero,
     ]
+    if T_extra is not None:
+        # an externally supplied candidate (e.g. the hybrid's PnP pose) —
+        # it COMPETES in the battery rather than replacing the prediction
+        # (round 4: replacing the motion model with the PnP pose on every
+        # INDIRECT-mode frame measurably degraded healthy tracking)
+        cands.append(T_extra)
     axes = jnp.eye(3, dtype=jnp.float32)
     for k in range(n_rot):
         ax = axes[k % 3] * (1.0 if k < 3 else -1.0) * rot_eps * (1 + k // 6)
@@ -246,7 +259,7 @@ def track_multi(
             cam_l = cam0.level(l)
             T, ab, E = _track_level(
                 new_grad_pyr[l], cam_l, ref.uv[l], ref.idepth, ref.color[l],
-                ref.weight[l], ref.valid[l], T, ab, cfg,
+                ref.weight[l], ref.valid[l], T, ab, cfg, ab_center=ab_init,
             )
         return T, ab, E
 
@@ -274,7 +287,7 @@ def track(
         T, ab, E = _track_level(
             new_grad_pyr[l], cam_l,
             ref.uv[l], ref.idepth, ref.color[l], ref.weight[l], ref.valid[l],
-            T, ab, cfg,
+            T, ab, cfg, ab_center=ab_init,
         )
 
     # Final sweep at level 0 for statistics + covariance.

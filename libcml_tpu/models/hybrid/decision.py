@@ -37,6 +37,11 @@ class DecisionConfig:
     min_orb_matches: int = 30        # below this, ORB tracking is unusable
     flow_force_direct: float = 0.0   # 0 = disabled
     force: str | None = None         # "DIRECT"/"INDIRECT" force flags
+    force_kf_match_ratio: float = 0.25   # force an indirect keyframe when
+                                         # matches drop below this fraction
+                                         # of the reference keyframe's
+                                         # (indirectNeedNewKeyFrame rule;
+                                         # 0 disables)
 
     # BA decision
     ba_force: str | None = None

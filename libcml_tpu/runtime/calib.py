@@ -40,8 +40,8 @@ class CalibSlam(HybridOdometry):
         self._prev_exposure = 1.0
 
     def process(self, image, timestamp, gt_pose_c2w=None, exposure: float = 1.0):
-        self._cur_exposure = exposure
-        out = super().process(image, timestamp, gt_pose_c2w)
+        out = super().process(image, timestamp, gt_pose_c2w,
+                              exposure=exposure)
         # photometric pairs: reference point colors vs the new frame sampled
         # at their tracked positions, when the exposure ratio is known
         if (

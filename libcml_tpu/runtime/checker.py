@@ -61,3 +61,26 @@ class CameraChecker:
             dt <= self.trans_factor * t_med + self.trans_floor
             and ang <= self.rot_factor * r_med + self.rot_floor
         )
+
+    def push_values(self, dt: float, ang: float) -> None:
+        """Host-scalar variant of push: the motion magnitudes were computed
+        on device inside the frame/PnP programs and ride their result
+        bundles (round 4: push(SE3, SE3) fetched device poses — two ~30 ms
+        RPCs per frame through the tunnel)."""
+        if np.isfinite(dt) and np.isfinite(ang):
+            self._trans.append(float(dt))
+            self._rot.append(float(ang))
+
+    def plausible_values(self, dt: float, ang: float) -> bool:
+        """Host-scalar variant of plausible (same rule, no fetches)."""
+        if not (np.isfinite(dt) and np.isfinite(ang)):
+            return False
+        if not self._trans:
+            return True
+        t_med = float(np.median(self._trans))
+        r_med = float(np.median(self._rot))
+        return (
+            dt <= self.trans_factor * t_med + self.trans_floor
+            and ang <= self.rot_factor * r_med + self.rot_floor
+        )
+

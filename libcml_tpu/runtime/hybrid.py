@@ -82,10 +82,17 @@ _run_mixed_ba = jax.jit(ba_mod.run_ba_mixed, static_argnames=("cfg",))
 def _project_match_pnp(
     Xw, desc_p, valid_p, level_p, T_pred: SE3, cam: PinholeCamera,
     feats_desc, feats_uv, feats_level, feats_angle, feats_valid,
+    T_last: SE3 | None = None,
 ):
     """One device program: project map -> radius/level-masked Hamming match
     -> motion-only PnP with covariance (the reference's
-    indirectTrackWithCMLGraph + IndirectCameraOptimizer, fused)."""
+    indirectTrackWithCMLGraph + IndirectCameraOptimizer, fused).
+
+    Also returns a flat host BUNDLE [num_matches, num_inliers, finite,
+    R(9), t(3), cov_rot(3), motion_dt, motion_ang] so the runtime's scalar
+    decisions cost ONE device->host RPC (~30 ms fixed each through the
+    tunnel). `motion_*` measure the solved pose against T_last (the
+    previous frame's pose) for the host-side CameraChecker."""
     m, uv_p = match_projection(
         Xw, desc_p, valid_p, level_p, T_pred, cam,
         feats_desc, feats_uv, feats_level, feats_valid,
@@ -93,7 +100,22 @@ def _project_match_pnp(
     uv_obs = feats_uv[m.idx]
     sigma2 = 1.2 ** (2.0 * feats_level[m.idx].astype(jnp.float32))
     res = solve_pnp(Xw, uv_obs, m.valid, T_pred, cam, sigma2=sigma2)
-    return m, res
+    finite = jnp.all(jnp.isfinite(res.T.t)) & jnp.all(jnp.isfinite(res.T.R))
+    cov_rot = jnp.diagonal(res.cov)[3:6]
+    if T_last is None:
+        T_last = T_pred
+    rel_R = res.T.R @ T_last.R.T
+    ang = jnp.arccos(jnp.clip((jnp.trace(rel_R) - 1.0) / 2.0, -1.0, 1.0))
+    dt = jnp.linalg.norm(res.T.t - rel_R @ T_last.t)
+    bundle = jnp.concatenate([
+        jnp.asarray([m.num, res.num_inliers], jnp.float32).reshape(-1),
+        jnp.asarray([finite], jnp.float32),
+        res.T.R.reshape(-1).astype(jnp.float32),
+        res.T.t.reshape(-1).astype(jnp.float32),
+        cov_rot.astype(jnp.float32),
+        jnp.asarray([dt, ang], jnp.float32).reshape(-1),
+    ])
+    return m, res, bundle
 
 
 @jax.jit
@@ -171,6 +193,10 @@ class HybridOdometry(DirectOdometry):
         # store with feature -> map-slot association (reference:
         # Relocalization.{h,cpp} + EPnP absolute pose)
         self._kfdb = None          # lazy KeyframeDatabase
+        self._kfdb_pending: list[int] = []   # keyframes stored but not yet
+                                             # BoW-indexed (indexing costs a
+                                             # ~70 ms device round trip and
+                                             # is only needed on LOST)
         self._kf_store: dict[int, dict] = {}
 
         self.mode_history: list[str] = []
@@ -223,8 +249,10 @@ class HybridOdometry(DirectOdometry):
 
     # -- per-frame ----------------------------------------------------------
 
-    def process(self, image, timestamp, gt_pose_c2w=None):
-        out = super().process(image, timestamp, gt_pose_c2w)
+    def process(self, image, timestamp, gt_pose_c2w=None,
+                exposure: float | None = None):
+        out = super().process(image, timestamp, gt_pose_c2w,
+                              exposure=exposure)
         # ORB two-view bootstrap fallback: when the DSO initializer has not
         # converged after a while (low-texture / low-parallax starts), try
         # the ORB-SLAM-style F/H-RANSAC initializer on matched corners
@@ -376,24 +404,26 @@ class HybridOdometry(DirectOdometry):
         n_map = int(self._pt_valid.sum())
 
         pnp_res = None
+        pnp_motion = None
         orb_cov = None
         n_matches = 0
         if n_map >= self.dcfg.min_orb_matches:
             Xw, desc, valid, level = self._map_device()
             T_delta = self._T_curr.compose(self._T_prev.inverse())
             T_pred = T_delta.compose(self._T_curr)
-            m, pnp = _project_match_pnp(
+            m, pnp, bundle = _project_match_pnp(
                 Xw, desc, valid, level, T_pred, self.cam,
                 feats.desc, feats.uv, feats.level, feats.angle, feats.valid,
+                T_last=self._T_curr,
             )
-            n_matches = int(m.num)
-            if int(pnp.num_inliers) >= 12 and np.isfinite(
-                np.asarray(pnp.T.t)
-            ).all():
-                pnp_res = pnp
-                orb_cov = np.diag(np.asarray(pnp.cov))[3:]
-                matched = np.asarray(m.valid)
-                self._pt_last_seen[matched] = self.frame_idx
+            # ONE bulk fetch for every scalar decision this frame needs
+            b, m_valid = jax.device_get((bundle, m.valid))
+            n_matches = int(b[0])
+            if int(b[1]) >= 12 and b[2] > 0.5:
+                pnp_res = pnp                      # device pose (seed)
+                pnp_motion = (float(b[18]), float(b[19]))
+                orb_cov = np.asarray(b[15:18])
+                self._pt_last_seen[m_valid] = self.frame_idx
 
         mode = self.pose_decision.decide(n_matches)
         self.mode_history.append(mode)
@@ -412,7 +442,7 @@ class HybridOdometry(DirectOdometry):
             mode == Mode.INDIRECT
             and pnp_res is not None
             and not out["ok"]
-            and self.checker.plausible(self._T_prev, pnp_res.T)
+            and self.checker.plausible_values(*pnp_motion)
         ):
             # direct refinement failed; the PnP pose stands on its own —
             # but only when it is motion-plausible (CameraChecker): an
@@ -424,73 +454,94 @@ class HybridOdometry(DirectOdometry):
             out["ok"] = True
             self._track_fails = 0
         if out.get("ok"):
-            self.checker.push(self._T_prev, self._T_curr)
+            mo = out.get("motion")
+            if mo is not None:
+                self.checker.push_values(*mo)
+            else:
+                self.checker.push(self._T_prev, self._T_curr)
 
         self.pose_decision.push(orb_cov, out.get("cov_rot_diag"))
         out["mode"] = mode
         out["orb_matches"] = n_matches
 
         # indirect keyframe decision (reference: indirectNeedNewKeyFrame —
-        # tracked-vs-reference ratio rule): handled when the direct spine
-        # makes a keyframe; additionally force one if matches collapsed
-        if (
-            out.get("ok")
-            and not out.get("kf")
-            and self._last_kf_feats is not None
-            and n_matches < 0.25 * max(self._ref_kf_tracked, 1)
-            and self._frames_since_kf >= 3
-        ):
-            self._make_keyframe(pyr, None, timestamp)
-            out["kf"] = True
-
+        # tracked-vs-reference ratio rule): the direct spine's keyframes
+        # carry the indirect postprocess; when matches collapse BETWEEN
+        # spine keyframes, insert an INDIRECT-ONLY keyframe (triangulate
+        # new map points at the current pose) WITHOUT forcing a
+        # photometric-window event — round 4 measured the old forced spine
+        # keyframe at 4.7x worse ATE over 500 frames (0.057 -> 0.268): the
+        # extra events chewed through the window's marginalization budget.
+        # In the reference the two pipelines likewise keyframe
+        # independently (indirectNeedNewKeyFrame vs directNeedNewKeyFrame).
         if out.get("kf"):
             self._indirect_postprocess(feats, timestamp)
+        elif (
+            out.get("ok")
+            and self._last_kf_feats is not None
+            and self.dcfg.force_kf_match_ratio > 0
+            and n_matches < self.dcfg.force_kf_match_ratio
+                * max(self._ref_kf_tracked, 1)
+            and self.frame_idx - self._last_kf_idx >= 3
+        ):
+            self._indirect_postprocess(feats, timestamp,
+                                       T_pose=self._T_curr)
         self._cull_map_points()
         return out
 
     # -- keyframe postprocess ------------------------------------------------
 
-    def _indirect_postprocess(self, feats, timestamp):
+    def _indirect_postprocess(self, feats, timestamp, T_pose=None):
         """New-keyframe indirect mapping: triangulate fresh map points
         against the previous indirect keyframe, record observations, run the
         BA the decision logic picks (reference: indirectMap,
-        indirect/Mapping.cpp:19 + bundleAdjustmentDecision)."""
-        T_new = self._kf_T   # direct spine already optimized this pose
+        indirect/Mapping.cpp:19 + bundleAdjustmentDecision). `T_pose`
+        overrides the pose for INDIRECT-ONLY keyframes (frames that are not
+        direct-window keyframes)."""
+        T_new = T_pose if T_pose is not None else self._kf_T
 
+        # ---- device phase: dispatch everything, fetch ONCE ---------------
+        # (each separate device->host read costs ~30 ms fixed RPC latency
+        # through the tunnel; this event previously paid it ~10 times)
+        tri = None
         if self._last_kf_feats is not None:
             f0, T0 = self._last_kf_feats, self._last_kf_T
             T_10 = T_new.compose(T0.inverse())
-            t_norm = float(jnp.linalg.norm(T_10.t))
-            if t_norm > 1e-4:
-                m, X0, ok = _epipolar_triangulate(
-                    f0.desc, f0.uv, f0.valid, f0.angle,
-                    feats.desc, feats.uv, feats.valid, feats.angle,
-                    T_10, self.cam,
-                )
-                ok_np = np.asarray(ok)
-                # world coords: X_w = R0^T (X0 - t0)
-                R0 = np.asarray(T0.R)
-                t0 = np.asarray(T0.t)
-                Xw = (np.asarray(X0) - t0) @ R0
-                self._add_map_points(
-                    Xw, np.asarray(f0.desc), np.asarray(f0.level), ok_np
-                )
+            m0, X0, ok = _epipolar_triangulate(
+                f0.desc, f0.uv, f0.valid, f0.angle,
+                feats.desc, feats.uv, feats.valid, feats.angle,
+                T_10, self.cam,
+            )
+            tri = (jnp.linalg.norm(T_10.t), X0, ok, f0.desc, f0.level,
+                   T0.R, T0.t)
 
-        # record this keyframe's observations of the map (for local BA)
         Xw_d, desc_d, valid_d, level_d = self._map_device()
         m, uv_p = match_projection(
             Xw_d, desc_d, valid_d, level_d, T_new, self.cam,
             feats.desc, feats.uv, feats.level, feats.valid,
         )
-        mv = np.asarray(m.valid)
+        fetch = jax.device_get((
+            m.valid, m.idx, m.dist, m.num,
+            feats.desc, feats.uv, feats.level, feats.valid,
+            T_new.R, T_new.t,
+            tri if tri is not None else (),
+        ))
+        (mv, midx, mdist, m_num, fdesc, fuv, flevel, fvalid,
+         Tn_R, Tn_t, tri_np) = fetch
+        mv = mv.copy()
+
+        if tri is not None:
+            t_norm, X0, ok_np, d0, l0, R0, t0 = tri_np
+            if float(t_norm) > 1e-4:
+                # world coords: X_w = R0^T (X0 - t0)
+                Xw = (X0 - t0) @ R0
+                self._add_map_points(Xw, d0, l0, ok_np)
 
         # search-and-fuse: two map points matched to the SAME corner are
         # duplicates — keep the better match (smaller Hamming distance),
         # retire the other (reference: indirect/Mapping.cpp:391
         # searchAndFuse). Retired slots are invalidated; the generation
         # check drops their stale observations everywhere.
-        midx = np.asarray(m.idx)
-        mdist = np.asarray(m.dist)
         matched = np.flatnonzero(mv)
         if matched.size:
             order = matched[np.argsort(mdist[matched], kind="stable")]
@@ -513,16 +564,20 @@ class HybridOdometry(DirectOdometry):
         # MapPoint descriptor update in indirect mapping)
         pt_idx = np.flatnonzero(mv)[:OBS_PER_KF]
         if pt_idx.size:
-            self._pt_desc[pt_idx] = np.asarray(feats.desc)[midx[pt_idx]]
-            self._pt_level[pt_idx] = np.asarray(feats.level)[midx[pt_idx]]
+            self._pt_desc[pt_idx] = fdesc[midx[pt_idx]]
+            self._pt_level[pt_idx] = flevel[midx[pt_idx]]
             self._map_dev = None
-        uv_obs = np.asarray(feats.uv)[np.asarray(m.idx)[pt_idx]]
-        lv_obs = np.asarray(feats.level)[np.asarray(m.idx)[pt_idx]]
+        uv_obs = fuv[midx[pt_idx]]
+        lv_obs = flevel[midx[pt_idx]]
         self._ind_kfs.append({
             "frame": self.frame_idx,
-            "kf_id": self._kf_id,
-            "T_R": np.asarray(T_new.R),
-            "T_t": np.asarray(T_new.t),
+            # window-slot association: indirect-only keyframes (T_pose
+            # given) have NO direct-window slot — kf_id -1 keeps the
+            # mixed-BA assembly and pose refresh from binding this ring
+            # entry to whatever spine keyframe happens to be latest
+            "kf_id": self._kf_id if T_pose is None else -1,
+            "T_R": Tn_R,
+            "T_t": Tn_t,
             "obs_point": pt_idx,
             "obs_gen": self._pt_gen[pt_idx].copy(),
             "obs_mapid": self._pt_mapid[pt_idx].copy(),
@@ -536,16 +591,16 @@ class HybridOdometry(DirectOdometry):
         if mf is not None:
             mids = self._pt_mapid[pt_idx]
             self.map.add_observations(mf, mids[mids >= 0])
-        self._ref_kf_tracked = max(int(m.num), 1)
+        self._ref_kf_tracked = max(int(m_num), 1)
         self._last_kf_feats = feats
         self._last_kf_T = T_new
         self._last_kf_idx = self.frame_idx
-        self._add_reloc_keyframe(feats, np.asarray(m.idx), pt_idx)
+        self._add_reloc_keyframe(feats, midx, pt_idx, fdesc, fvalid, fuv)
 
         ba_mode = self.ba_decision.decide(
             num_indirect_points=int(self._pt_valid.sum()),
-            num_tracked=int(m.num),
-            num_robust=int(np.sum(np.asarray(m.dist) < 50)),
+            num_tracked=int(m_num),
+            num_robust=int(np.sum(mdist < 50)),
             saturated_ratio=(
                 self.stats[-1].get("saturated", 0.0) if self.stats else 0.0
             ),
@@ -617,10 +672,15 @@ class HybridOdometry(DirectOdometry):
     # -- relocalization ------------------------------------------------------
 
     def _add_reloc_keyframe(self, feats, match_idx: np.ndarray,
-                            pt_idx: np.ndarray):
+                            pt_idx: np.ndarray,
+                            fdesc: np.ndarray | None = None,
+                            fvalid: np.ndarray | None = None,
+                            fuv: np.ndarray | None = None):
         """Index this keyframe for BoW relocalization: inverted-file entry +
         feature store with feature -> map-slot association (reference:
-        Relocalization::addKeyFrame)."""
+        Relocalization::addKeyFrame). `fdesc`/`fvalid` are host copies of
+        the feature arrays when the caller already fetched them (saves the
+        ~30 ms refetch)."""
         if self._kfdb is None:
             from libcml_tpu.models.indirect.bow import (
                 KeyframeDatabase,
@@ -628,27 +688,58 @@ class HybridOdometry(DirectOdometry):
             )
 
             self._kfdb = KeyframeDatabase(default_vocabulary())
-        self._kfdb.add(self.frame_idx, feats.desc, feats.valid)
-        n = feats.desc.shape[0]
+        if fdesc is None:
+            fdesc = np.asarray(feats.desc)
+        if fvalid is None:
+            fvalid = np.asarray(feats.valid)
+        if fuv is None:
+            fuv = np.asarray(feats.uv)
+        # DEFERRED BoW indexing: the store entry is written now; the
+        # inverted-file add happens lazily at query time (_drain_kfdb)
+        self._kfdb_pending.append(self.frame_idx)
+        n = fdesc.shape[0]
         feat2slot = np.full((n,), -1, np.int64)
         feat2gen = np.zeros((n,), np.int64)
         fidx = match_idx[pt_idx]
         feat2slot[fidx] = pt_idx
         feat2gen[fidx] = self._pt_gen[pt_idx]
         self._kf_store[self.frame_idx] = {
-            "desc": np.asarray(feats.desc),
-            "uv": np.asarray(feats.uv),
-            "valid": np.asarray(feats.valid),
+            "desc": fdesc,
+            "uv": fuv,
+            "valid": fvalid,
             "feat2slot": feat2slot,
             "feat2gen": feat2gen,
         }
+
+    def _drain_kfdb(self):
+        """Index keyframes whose BoW add was deferred (indexing costs a
+        ~70 ms device round trip per keyframe and is only consulted on
+        relocalization, so it runs here, not in the keyframe event)."""
+        if not self._kfdb_pending:
+            return
+        if self._kfdb is None:
+            from libcml_tpu.models.indirect.bow import (
+                KeyframeDatabase,
+                default_vocabulary,
+            )
+
+            self._kfdb = KeyframeDatabase(default_vocabulary())
+        for kf_id in self._kfdb_pending:
+            st = self._kf_store.get(kf_id)
+            if st is not None:
+                self._kfdb.add(kf_id, jnp.asarray(st["desc"]),
+                               jnp.asarray(st["valid"]))
+        self._kfdb_pending.clear()
 
     def _attempt_relocalization(self, pyr, timestamp) -> bool:
         """BoW candidate retrieval -> descriptor matching -> EPnP RANSAC
         absolute pose -> restart the window anchored at the recovered pose,
         keeping the indirect map (reference: Relocalization candidates +
         EPnP.h:129; the failure loop of Hybrid.cpp:214-222)."""
-        if self._kfdb is None or not self._kf_store:
+        if not self._kf_store:
+            return False
+        self._drain_kfdb()
+        if self._kfdb is None:
             return False
         from libcml_tpu.models.indirect.epnp import epnp_ransac
         from libcml_tpu.models.indirect.matching import (
@@ -716,6 +807,7 @@ class HybridOdometry(DirectOdometry):
             self._pt_valid[:] = False
             self._map_dev = None
             self._kf_store.clear()
+            self._kfdb_pending.clear()
             if self._kfdb is not None:
                 from libcml_tpu.models.indirect.bow import KeyframeDatabase
 
@@ -731,8 +823,7 @@ class HybridOdometry(DirectOdometry):
         w = self._window
         ba = w.ba
         F = ba.num_frames
-        fids = np.asarray(w.frame_id)
-        fvalid = np.asarray(ba.frame_valid)
+        fids, fvalid, R, t = self._window_host()
         slot_of = {
             int(fids[s]): s for s in range(F) if fvalid[s] and fids[s] >= 0
         }
@@ -754,8 +845,6 @@ class HybridOdometry(DirectOdometry):
         Q = self.cfg.mixed_points
         items = items[:Q]
 
-        R = np.asarray(ba.T.R)
-        t = np.asarray(ba.T.t)
         uv_a = np.zeros((Q, 2), np.float32)
         host = np.zeros((Q,), np.int32)
         rho = np.ones((Q,), np.float32)
@@ -817,22 +906,26 @@ class HybridOdometry(DirectOdometry):
         new_ba, new_ind, E = _run_mixed_ba(
             w.ba, w.images, self.cam, self.cfg, ind
         )
-        if not np.isfinite(float(E)):
+        # ONE bulk fetch of everything the writeback below consumes
+        Xh_dev = self.cam.unproject(new_ind.uv, new_ind.idepth)
+        (E_np, piv, R, t, fvalid, Xh) = jax.device_get(
+            (E, new_ind.point_valid, new_ba.T.R, new_ba.T.t,
+             new_ba.frame_valid, Xh_dev))
+        if not np.isfinite(E_np):
             return
         self._window = w.replace(ba=new_ba)
+        # pre-seed the window-host cache from the same fetch
+        fids = np.asarray(w.frame_id)
+        self._win_host = (fids, fvalid, R, t)
+        self._win_host_ref = new_ba
         self._sync_kf_poses()
         # latest keyframe may have moved: keep tracking continuity
         self._T_curr = self._kf_T
         self._rebuild_tracker_ref()
 
         # write refined points back: X_w = R_h^T (unproject(uv, rho) - t_h)
-        ok = np.asarray(new_ind.point_valid) & (map_slots >= 0)
+        ok = piv & (map_slots >= 0)
         if ok.any():
-            R = np.asarray(new_ba.T.R)
-            t = np.asarray(new_ba.T.t)
-            Xh = np.asarray(
-                self.cam.unproject(new_ind.uv, new_ind.idepth)
-            )
             hs = host[ok]
             Xw = np.einsum("qji,qj->qi", R[hs], Xh[ok] - t[hs])
             self._pt_Xw[map_slots[ok]] = Xw.astype(np.float32)
@@ -841,14 +934,10 @@ class HybridOdometry(DirectOdometry):
             self._map_dev = None
         # refresh the indirect keyframe ring's poses from the window so the
         # next local BA starts consistent
-        fids = np.asarray(w.frame_id)
-        fvalid = np.asarray(new_ba.frame_valid)
         slot_of = {
             int(fids[s]): s for s in range(len(fids))
             if fvalid[s] and fids[s] >= 0
         }
-        R = np.asarray(new_ba.T.R)
-        t = np.asarray(new_ba.T.t)
         for k in self._ind_kfs:
             s = slot_of.get(int(k["kf_id"]))
             if s is not None:
@@ -880,6 +969,8 @@ class HybridOdometry(DirectOdometry):
                 for i in ids:
                     counts[i] -= 1
                 self._kf_store.pop(k["frame"], None)
+                if k["frame"] in self._kfdb_pending:
+                    self._kfdb_pending.remove(k["frame"])
                 if self._kfdb is not None:
                     self._kfdb.remove(k["frame"])
             else:
@@ -979,15 +1070,14 @@ class HybridOdometry(DirectOdometry):
             obs_sigma2=jnp.asarray(obs_s2),
         )
         out = _run_local_ba(prob, self.cam)
-        Xw_new = np.asarray(out.Xw)[:N]
+        Xw_new, R_new, t_new = jax.device_get((out.Xw, out.T.R, out.T.t))
+        Xw_new = Xw_new[:N]
         if not np.isfinite(Xw_new).all():
             return
         self._pt_Xw[used_pts] = Xw_new
         mids = self._pt_mapid[used_pts]
         self.map.p_xyz[mids[mids >= 0]] = Xw_new[mids >= 0]
         self._map_dev = None
-        R_new = np.asarray(out.T.R)
-        t_new = np.asarray(out.T.t)
         # pose ownership: the exported trajectory is anchored to the direct
         # window's photometric BA (the spine). The indirect BA's pose
         # refinements update only ITS OWN keyframe ring (consistent

@@ -126,6 +126,7 @@ def _frame_step(
     T_seed: SE3,
     use_seed,
     recent_rows,
+    ab_init,
     cfg: DirectConfig,
 ):
     """The WHOLE per-frame fast path as one device program: motion-model
@@ -149,10 +150,17 @@ def _frame_step(
     """
     T_delta = T_curr.compose(T_prev.inverse())
     T_pred_world = T_delta.compose(T_curr)
-    T_pred_world = _tree_select(use_seed, T_seed, T_pred_world)
     T_init = T_pred_world.compose(kf_T.inverse())
     T_zero = T_curr.compose(kf_T.inverse())
-    ab0 = jnp.zeros(2, jnp.float32)
+    # an external seed (the hybrid's PnP pose) joins the recovery battery
+    # as one more hypothesis; the fast path keeps the motion model (the
+    # smoother predictor when tracking is healthy)
+    T_seed_rel = T_seed.compose(kf_T.inverse())
+    T_seed_rel = _tree_select(use_seed, T_seed_rel, T_init)
+    # exposure-aware affine initialization: a = log(t_j / t_kf) when the
+    # capture provides exposure times, zero otherwise (reference:
+    # Exposure::to(), Exposure.h:118-125)
+    ab0 = ab_init
 
     res0 = track(grad_pyr, cam, ref, T_init, ab0, cfg)
     finite0 = jnp.all(jnp.isfinite(res0.T_ji.t))
@@ -163,8 +171,9 @@ def _frame_step(
     )
     res = jax.lax.cond(
         suspect,
-        lambda: track_multi(grad_pyr, cam, ref,
-                            motion_hypotheses(T_init, T_zero), ab0, cfg),
+        lambda: track_multi(
+            grad_pyr, cam, ref,
+            motion_hypotheses(T_init, T_zero, T_extra=T_seed_rel), ab0, cfg),
         lambda: res0,
     )
 
@@ -199,9 +208,14 @@ def _frame_step(
         + cfg.kf_affine_weight * jnp.abs(res.ab[0])
     )
     n_ref = jnp.sum(ref.valid[0]).astype(jnp.float32)
+    # frame-to-frame motion magnitudes (for the host CameraChecker —
+    # computing them here saves the checker's own device fetches)
+    mo_R = T_world.R @ T_curr.R.T
+    mo_ang = jnp.arccos(jnp.clip((jnp.trace(mo_R) - 1.0) / 2.0, -1.0, 1.0))
+    mo_dt = jnp.linalg.norm(T_world.t - mo_R @ T_curr.t)
     # ONE flat bundle = ONE device->host RPC at finalize (each separate
     # fetch costs ~30 ms fixed latency through the tunnel): 11 scalars,
-    # then T_rel as rows [R(9), t(3)], then ab(2)
+    # then T_rel as rows [R(9), t(3)], ab(2), motion(2)
     scalars = jnp.concatenate([
         jnp.asarray([res.num_valid, res.saturated, res.flow, res.energy],
                     jnp.float32).reshape(-1),
@@ -211,6 +225,7 @@ def _frame_step(
         T_rel.R.reshape(-1).astype(jnp.float32),
         T_rel.t.reshape(-1).astype(jnp.float32),
         res.ab.reshape(-1).astype(jnp.float32),
+        jnp.asarray([mo_dt, mo_ang], jnp.float32).reshape(-1),
     ])
     return immature, T_world, T_rel, res.ab, scalars
 
@@ -407,7 +422,7 @@ class DirectOdometry:
 
     def __init__(self, cam: PinholeCamera | Calibration,
                  cfg: DirectConfig | None = None, depth_prior=None,
-                 pipelined: bool = False):
+                 pipelined: bool = False, mesh=None):
         # a full Calibration carries the rectification remap + photometric
         # response/vignette, applied on device to every incoming frame; a
         # bare PinholeCamera means frames arrive already ideal
@@ -428,6 +443,12 @@ class DirectOdometry:
         # then reports the PREVIOUS frame's stats (the reference's threaded
         # mapping mode has the same one-frame observability lag)
         self.pipelined = pipelined
+        # optional multi-chip mesh: the BA point arena is sharded over the
+        # mesh's 'points' axis (parallel/sharding.py layout — linearization
+        # partitions with zero communication, the einsum-reduced camera
+        # system psums over ICI); annotations placed once at window
+        # creation propagate through every jitted program
+        self.mesh = mesh
         self._pending: list[dict] = []
         self._pending_marg = None     # in-flight async marginalization
         self._win_count = 0           # host mirror of window occupancy
@@ -524,14 +545,22 @@ class DirectOdometry:
         if keyframe:
             self.map.set_keyframe(i)
 
+    def _window_host(self):
+        """Host copy of the window's (frame_id, frame_valid, R, t),
+        fetched in ONE RPC and cached per BA-state object (each separate
+        device->host read costs ~30 ms through the tunnel; the keyframe
+        postprocess used to refetch these several times per event)."""
+        ba = self._window.ba
+        if getattr(self, "_win_host_ref", None) is not ba:
+            self._win_host = jax.device_get(
+                (self._window.frame_id, ba.frame_valid, ba.T.R, ba.T.t))
+            self._win_host_ref = ba   # strong ref keys the cache safely
+        return self._win_host
+
     def _sync_kf_poses(self):
         """Pull optimized keyframe poses out of the window into the map
         (deform-anchored frames follow automatically on read)."""
-        w = self._window
-        fids = np.asarray(w.frame_id)
-        valid = np.asarray(w.ba.frame_valid)
-        R = np.asarray(w.ba.T.R)
-        t = np.asarray(w.ba.T.t)
+        fids, valid, R, t = self._window_host()
         kf_bit = self.map.groups.frame_group("DIRECTKEYFRAME")
         for s in range(len(fids)):
             if valid[s] and fids[s] >= 0:
@@ -551,7 +580,8 @@ class DirectOdometry:
     # -- main entry ----------------------------------------------------------
 
     def process(self, image, timestamp: float,
-                gt_pose_c2w: np.ndarray | None = None) -> dict:
+                gt_pose_c2w: np.ndarray | None = None,
+                exposure: float | None = None) -> dict:
         """Feed one grayscale frame (H, W) in ~[0, 255]. Returns a stats
         dict. `gt_pose_c2w` (4, 4), when available, is stored in the map and
         feeds the live ATE/RPE (reference: Map::refreshErrorFromGroundtruth,
@@ -559,6 +589,7 @@ class DirectOdometry:
         self.frame_idx += 1
         log.set_frame(self.frame_idx)
         self._cur_gt = gt_pose_c2w
+        self._cur_exposure = exposure
         img = jnp.asarray(image, jnp.float32)
         with self.sheet.timer("time_preprocess").frame(self.frame_idx):
             c = self.calib
@@ -635,6 +666,7 @@ class DirectOdometry:
         new_ba, _ = ba_mod.run_ba(window.ba, window.images, cam, cfg)
         new_ba = ba_mod.update_residual_status(new_ba, window.images, cam, cfg)
         self._window = window.replace(ba=new_ba)
+        self._place_on_mesh()
 
         self._kf_slot = int(slot1)
         self._kf_id = self.frame_idx
@@ -656,6 +688,7 @@ class DirectOdometry:
 
         self._T_prev = self._kf_T
         self._T_curr = self._kf_T
+        self._kf_exposure = getattr(self, "_cur_exposure", None)
         self._record(timestamp, self._kf_id, SE3.identity())
         self._set_abs_pose(self._kf_id, self._kf_T, keyframe=True)
         self._frames_since_kf = 0
@@ -689,12 +722,17 @@ class DirectOdometry:
         self._complete_pending_marg(min_age=2)
         use_seed = T_seed is not None
         seed = T_seed if use_seed else SE3.identity()
+        exp = getattr(self, "_cur_exposure", None)
+        a0 = 0.0
+        if exp and getattr(self, "_kf_exposure", None):
+            a0 = float(np.log(exp / self._kf_exposure))
         with self.sheet.timer("time_track").frame(self.frame_idx):
             imm2, T_world, T_rel, ab, scalars = _frame_step(
                 pyr, cam, self._tracker_ref, self._immature,
                 self._window.ba.T, self._window.ba.frame_valid,
                 self._kf_T, self._T_curr, self._T_prev,
-                seed, jnp.asarray(use_seed), self._recent_rows, cfg,
+                seed, jnp.asarray(use_seed), self._recent_rows,
+                jnp.asarray([a0, 0.0], jnp.float32), cfg,
             )
         self._immature = imm2
         self._T_prev = self._T_curr
@@ -703,6 +741,7 @@ class DirectOdometry:
             "frame_idx": self.frame_idx, "ts": timestamp, "pyr": pyr,
             "T_world": T_world, "T_rel": T_rel, "ab": ab,
             "scalars": scalars, "kf_id": self._kf_id,
+            "exposure": exp,
         }
         if self.pipelined:
             self._pending.append(entry)
@@ -794,12 +833,14 @@ class DirectOdometry:
             "cov_rot_diag": np.asarray(sc[6:9]),
             "saturated": saturated,
             "suspect": bool(sc[5] > 0.5),
+            "motion": (float(sc[25]), float(sc[26])),
         }
         self._last_track_ab = sc[23:25]   # rides in the bundle — no fetch
         if need_kf:
             with self.sheet.timer("time_keyframe").frame(fidx):
                 self._make_keyframe(pyr, entry["ab"], timestamp,
-                                    T_new=entry["T_world"], frame_idx=fidx)
+                                    T_new=entry["T_world"], frame_idx=fidx,
+                                    exposure=entry.get("exposure"))
         for k in ("flow", "energy", "num_valid", "saturated"):
             self.sheet.push(k, fidx, out[k])
         return out
@@ -891,7 +932,8 @@ class DirectOdometry:
         self._set_abs_pose(self.frame_idx, anchor)
 
     def _make_keyframe(self, pyr, ab, timestamp, T_new: SE3 | None = None,
-                       frame_idx: int | None = None):
+                       frame_idx: int | None = None,
+                       exposure: float | None = None):
         """Keyframe event. `T_new`/`frame_idx` identify the promoted frame
         (they default to the current tracking state; the pipelined finalize
         passes the lagged frame's own pose and index)."""
@@ -930,6 +972,8 @@ class DirectOdometry:
         self._kf_id = frame_idx
         self._kf_ab = ab_new
         self._kf_T = T_kf             # optimized pose, device-resident
+        self._kf_exposure = (exposure if exposure is not None
+                             else getattr(self, "_cur_exposure", None))
         self._frames_since_kf = 0
         # the frame's map entry is marked KEYFRAME now; its absolute
         # optimized pose (and all window keyframe poses) are written by the
@@ -957,6 +1001,18 @@ class DirectOdometry:
         # direct/Mapping.cpp:47; the result lands before the next keyframe)
         if self._win_count >= cfg.max_frames:
             self._start_async_marg()
+
+    def _place_on_mesh(self):
+        """Shard the window's point arena over the mesh (no-op without
+        one). Called once per window creation; XLA propagates the layout
+        through all subsequent jitted updates."""
+        if self.mesh is None or self._window is None:
+            return
+        from libcml_tpu.parallel import sharding as sh
+
+        ba = self._window.ba
+        self._window = self._window.replace(
+            ba=sh.shard_ba_state(ba, self.mesh))
 
     def _push_recent_row(self, slot):
         """Record `slot` (device scalar ok) as the most recently seeded
@@ -1005,6 +1061,7 @@ class DirectOdometry:
         "state", "frame_idx", "segments", "stopped", "_anchor_kf",
         "_kf_slot", "_kf_id", "_frames_since_kf", "_track_fails",
         "_lost_frames", "_fid2map", "_first_ts", "_win_count",
+        "_kf_exposure",
     )
     _CKPT_PYTREES = (
         "_window", "_immature", "_init_state", "_first_pyr", "_kf_pyr",
@@ -1063,6 +1120,7 @@ class DirectOdometry:
                 jax.tree.map(jnp.asarray, v) if v is not None else None,
             )
         self.map = payload["map"]
+        self._place_on_mesh()
         pm = payload.get("pending_marg")
         self._pending_marg = None if pm is None else (
             jax.tree.map(jnp.asarray, pm[0]), jnp.asarray(pm[1]),
