@@ -208,13 +208,17 @@ def trace_immatures_rows(
     sub_T = jax.tree.map(lambda x: x[rows_c], T_hosts)
     sub_hv = host_valid[rows_c] & row_ok
     traced = trace_immatures(sub, sub_T, sub_hv, obs_grad, T_obs, cam, cfg)
-    # rows listed twice cannot happen (distinct window slots); -1 rows write
-    # their original content back
-    def scatter(a, s, o):
-        keep = row_ok.reshape((-1,) + (1,) * (s.ndim - 1))
-        return a.at[rows_c].set(jnp.where(keep, s, o))
-    return jax.tree.map(
-        lambda a, s: scatter(a, s, a[rows_c]), arena, traced)
+    # rows listed twice cannot happen (distinct window slots). -1 pad rows
+    # scatter to an out-of-range index and are DROPPED — clamping them to
+    # row 0 would collide with a genuine row 0 entry, and XLA's resolution
+    # of duplicate scatter indices with conflicting payloads is
+    # unspecified (ADVICE r4)
+    F = jax.tree.leaves(arena)[0].shape[0]
+    rows_s = jnp.where(row_ok, rows_c, F)
+
+    def scatter(a, s):
+        return a.at[rows_s].set(s, mode="drop")
+    return jax.tree.map(scatter, arena, traced)
 
 
 def trace_immatures(

@@ -215,9 +215,12 @@ class HybridOdometry(DirectOdometry):
 
     def _add_map_points(self, Xw: np.ndarray, desc: np.ndarray,
                         level: np.ndarray, ok: np.ndarray):
+        """Insert accepted points into the arena. Returns (slots, src):
+        the arena rows written and the rows of `Xw` they came from (both
+        None when nothing was inserted)."""
         idx = np.flatnonzero(ok)
         if idx.size == 0:
-            return
+            return None, None
         # recycle: prefer invalid slots, then the longest-unseen (the
         # reference recycles destroyed MapPoints, Map.h:244)
         free = np.flatnonzero(~self._pt_valid)
@@ -236,6 +239,7 @@ class HybridOdometry(DirectOdometry):
             Xw[idx], groups=self.map.groups.point_group("INDIRECTGROUP")
         )
         self._map_dev = None
+        return free, idx
 
     def _cull_map_points(self, max_age: int = 30):
         """Drop points unmatched for max_age frames (reference: keyframe /
@@ -513,7 +517,7 @@ class HybridOdometry(DirectOdometry):
                 T_10, self.cam,
             )
             tri = (jnp.linalg.norm(T_10.t), X0, ok, f0.desc, f0.level,
-                   T0.R, T0.t)
+                   T0.R, T0.t, m0.idx, m0.dist)
 
         Xw_d, desc_d, valid_d, level_d = self._map_device()
         m, uv_p = match_projection(
@@ -528,14 +532,27 @@ class HybridOdometry(DirectOdometry):
         ))
         (mv, midx, mdist, m_num, fdesc, fuv, flevel, fvalid,
          Tn_R, Tn_t, tri_np) = fetch
-        mv = mv.copy()
+        mv, midx, mdist = mv.copy(), midx.copy(), mdist.copy()
 
         if tri is not None:
-            t_norm, X0, ok_np, d0, l0, R0, t0 = tri_np
+            t_norm, X0, ok_np, d0, l0, R0, t0, m0_idx, m0_dist = tri_np
             if float(t_norm) > 1e-4:
                 # world coords: X_w = R0^T (X0 - t0)
                 Xw = (X0 - t0) @ R0
-                self._add_map_points(Xw, d0, l0, ok_np)
+                slots, src = self._add_map_points(Xw, d0, l0, ok_np)
+                if slots is not None:
+                    # the creating keyframe OBSERVES its new points: the
+                    # epipolar match already pairs source feature src[i]
+                    # with current-frame corner m0_idx[src[i]], so record
+                    # the match directly instead of re-matching — the
+                    # projection match above ran on the PRE-insertion map
+                    # (one bulk fetch), and silently dropping these
+                    # creation observations regressed the calib-SLAM
+                    # distortion fit (round 4)
+                    mv[slots] = True
+                    midx[slots] = m0_idx[src]
+                    mdist[slots] = m0_dist[src]
+                    m_num = int(m_num) + slots.size
 
         # search-and-fuse: two map points matched to the SAME corner are
         # duplicates — keep the better match (smaller Hamming distance),

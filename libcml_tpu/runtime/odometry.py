@@ -505,14 +505,19 @@ class DirectOdometry:
 
     # -- helpers ------------------------------------------------------------
 
+    _GT_UNSET = object()
+
     def _record(self, ts: float, kf_id: int, T_rel: SE3,
-                frame_idx: int | None = None):
+                frame_idx: int | None = None, gt=_GT_UNSET):
         """Record a frame's pose in the map, relative to keyframe `kf_id`.
         Re-recording the same frame (keyframe promotion, restart anchoring)
         updates its map entry in place. `frame_idx` defaults to the current
-        frame (pipelined finalize passes the lagged frame's own index)."""
+        frame (pipelined finalize passes the lagged frame's own index and
+        its own groundtruth — by finalize time self._cur_gt already belongs
+        to the NEXT frame)."""
         if frame_idx is None:
             frame_idx = self.frame_idx
+        gt_c2w = self._cur_gt if gt is self._GT_UNSET else gt
         # accepts an SE3 OR a plain (R, t) numpy pair — callers that already
         # fetched the pose must NOT wrap it back into device arrays (a
         # wrap-then-read round trip costs ~50 ms through the tunnel)
@@ -529,7 +534,7 @@ class DirectOdometry:
             self.map.set_pose(existing, M, ref)
         else:
             idx = self.map.add_frame(ts, M, ref_frame=ref,
-                                     gt_c2w=self._cur_gt)
+                                     gt_c2w=gt_c2w)
             self._fid2map[frame_idx] = idx
 
     def _set_abs_pose(self, frame_idx: int, T: SE3, keyframe: bool = False):
@@ -741,7 +746,7 @@ class DirectOdometry:
             "frame_idx": self.frame_idx, "ts": timestamp, "pyr": pyr,
             "T_world": T_world, "T_rel": T_rel, "ab": ab,
             "scalars": scalars, "kf_id": self._kf_id,
-            "exposure": exp,
+            "exposure": exp, "gt": self._cur_gt,
         }
         if self.pipelined:
             self._pending.append(entry)
@@ -780,7 +785,8 @@ class DirectOdometry:
         pose_ok = bool(sc[4] > 0.5) and bool(
             np.all(np.isfinite(rel_t)) and np.all(np.isfinite(rel_R)))
         self._record(timestamp, entry["kf_id"],
-                     (np.asarray(rel_R), np.asarray(rel_t)), frame_idx=fidx)
+                     (np.asarray(rel_R), np.asarray(rel_t)), frame_idx=fidx,
+                     gt=entry.get("gt"))
         if pose_ok:
             self._track_fails = 0
         else:
@@ -795,7 +801,8 @@ class DirectOdometry:
                     e_sc = jax.device_get(e["scalars"])
                     self._record(e["ts"], e["kf_id"],
                                  (e_sc[11:20].reshape(3, 3),
-                                  e_sc[20:23]), frame_idx=e["frame_idx"])
+                                  e_sc[20:23]), frame_idx=e["frame_idx"],
+                                 gt=e.get("gt"))
                 self._pending.clear()
                 return self._on_tracking_lost(pyr, timestamp)
 
@@ -1082,6 +1089,11 @@ class DirectOdometry:
         SoA arenas are trivially serializable; the reference has no SLAM-
         state checkpointing at all, only experiment-level caching)."""
         import pickle
+
+        # finalize any in-flight pipelined frames first: a checkpoint that
+        # silently dropped the speculative frame would resume one frame
+        # short of the uninterrupted run (ADVICE r4)
+        self._flush_pending()
 
         def to_np(tree):
             return jax.tree.map(np.asarray, tree) if tree is not None else None
