@@ -69,14 +69,11 @@ class CalibSlam(HybridOdometry):
         self._prev_exposure = exposure
         return out
 
-    def _indirect_postprocess(self, feats, timestamp):
-        super()._indirect_postprocess(feats, timestamp)
+    def _on_indirect_kf(self, k: dict) -> None:
         # harvest geometric correspondences from this keyframe's recorded
         # observations (map point in camera frame vs observed corner pixel)
-        if not self._ind_kfs:
-            return
-        k = self._ind_kfs[-1]
-        if k["frame"] != self.frame_idx or not len(k["obs_point"]):
+        super()._on_indirect_kf(k)
+        if not len(k["obs_point"]):
             return
         Xw = self._pt_Xw[k["obs_point"]]
         Xc = Xw @ k["T_R"].T + k["T_t"]

@@ -231,6 +231,79 @@ def _frame_step(
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _retrack_step(
+    grad_pyr,
+    cam,
+    ref,
+    kf_T: SE3,
+    T_world_prev: SE3,
+    ab_init,
+    cfg: DirectConfig,
+):
+    """Re-track ONE in-flight pipelined frame against a JUST-created
+    keyframe's fresh reference (new points, BA-refined depths and pose).
+
+    Why: at lag-1 a frame dispatched before the keyframe event tracks
+    against the OLD reference; its pose is geometrically consistent but
+    measurably noisier (the old reference is one window-generation stale),
+    and its flow score can't drive the next keyframe decision (round 4
+    suppressed it as stale_ref — which in turn spaced keyframes
+    differently from the sequential mode and tripled ATE, 0.031 → 0.092).
+    Re-dispatching just the track (~8 ms device, no host block) against
+    the new reference makes the pipelined mode tracking-equivalent to the
+    sequential mode; the immature trace from the first dispatch is already
+    applied and is NOT repeated.
+
+    `T_world_prev` is the frame's own first-dispatch world pose — the
+    initialization (already within a frame's motion of the optimum).
+    Returns (T_world, T_rel, ab, scalars) with the exact _frame_step
+    bundle layout so _finalize_frame consumes it unchanged.
+    """
+    T_init = T_world_prev.compose(kf_T.inverse())
+    res = track(grad_pyr, cam, ref, T_init, ab_init, cfg)
+    finite = jnp.all(jnp.isfinite(res.T_ji.t)) & jnp.all(
+        jnp.isfinite(res.T_ji.R))
+    suspect = (
+        (res.num_valid < 24)
+        | (res.saturated >= 0.5 * cfg.fail_saturated)
+        | ~finite
+    )
+    pose_ok = (res.num_valid >= 24) & finite & (
+        res.saturated < cfg.fail_saturated)
+    T_world = _tree_select(
+        pose_ok,
+        res.T_ji.compose(kf_T).normalized(),
+        T_world_prev.normalized(),
+    )
+    T_rel = T_world.compose(kf_T.inverse())
+    cov_rot = jnp.diagonal(res.cov_pose)[3:6]
+    flow_t = jnp.sqrt(jnp.maximum(res.flow ** 2 - res.flow_no_trans ** 2,
+                                  0.0))
+    wh = float(cam.width + cam.height)
+    kf_score = (
+        (cfg.kf_shift_weight_t * flow_t
+         + cfg.kf_shift_weight_rt * res.flow) / wh
+        + cfg.kf_affine_weight * jnp.abs(res.ab[0])
+    )
+    n_ref = jnp.sum(ref.valid[0]).astype(jnp.float32)
+    mo_R = T_world.R @ kf_T.R.T
+    mo_ang = jnp.arccos(jnp.clip((jnp.trace(mo_R) - 1.0) / 2.0, -1.0, 1.0))
+    mo_dt = jnp.linalg.norm(T_world.t - mo_R @ kf_T.t)
+    scalars = jnp.concatenate([
+        jnp.asarray([res.num_valid, res.saturated, res.flow, res.energy],
+                    jnp.float32).reshape(-1),
+        jnp.asarray([pose_ok, suspect], jnp.float32),
+        cov_rot.astype(jnp.float32),
+        jnp.asarray([kf_score, n_ref], jnp.float32),
+        T_rel.R.reshape(-1).astype(jnp.float32),
+        T_rel.t.reshape(-1).astype(jnp.float32),
+        res.ab.reshape(-1).astype(jnp.float32),
+        jnp.asarray([mo_dt, mo_ang], jnp.float32).reshape(-1),
+    ])
+    return T_world, T_rel, res.ab, scalars
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _window_points_in_frame(window: win_mod.Window, slot, cam, cfg: DirectConfig):
     """Warp every valid window point into frame `slot`: the tracker's
     semi-dense reference set (replaces makeCoarseDepthL0,
@@ -709,8 +782,8 @@ class DirectOdometry:
         # sync per keyframe instead of one per frame)
         self._n_ref = max(int(jnp.sum(self._tracker_ref.valid[0])), 1)
 
-    def _track_frame(self, pyr, img, timestamp, T_seed: SE3 | None = None
-                     ) -> dict:
+    def _track_frame(self, pyr, img, timestamp, T_seed: SE3 | None = None,
+                     use_seed_dev=None) -> dict:
         """Per-frame tracking: ONE fused device program (_frame_step) does
         motion-model prediction, track, on-device suspect test + conditional
         recovery battery, pose gating, and immature tracing. The host fetches
@@ -725,8 +798,12 @@ class DirectOdometry:
         # identically) that gives the keyframe event's program queue time
         # to drain so the completion fetch finds the pieces ready
         self._complete_pending_marg(min_age=2)
-        use_seed = T_seed is not None
-        seed = T_seed if use_seed else SE3.identity()
+        # `use_seed_dev` lets a subclass gate the seed with a DEVICE scalar
+        # (e.g. the hybrid's PnP inlier test riding its result bundle) so
+        # no host fetch is needed before dispatch
+        use_seed = (jnp.asarray(T_seed is not None) if use_seed_dev is None
+                    else use_seed_dev)
+        seed = T_seed if T_seed is not None else SE3.identity()
         exp = getattr(self, "_cur_exposure", None)
         a0 = 0.0
         if exp and getattr(self, "_kf_exposure", None):
@@ -736,7 +813,7 @@ class DirectOdometry:
                 pyr, cam, self._tracker_ref, self._immature,
                 self._window.ba.T, self._window.ba.frame_valid,
                 self._kf_T, self._T_curr, self._T_prev,
-                seed, jnp.asarray(use_seed), self._recent_rows,
+                seed, use_seed, self._recent_rows,
                 jnp.asarray([a0, 0.0], jnp.float32), cfg,
             )
         self._immature = imm2
@@ -748,6 +825,7 @@ class DirectOdometry:
             "scalars": scalars, "kf_id": self._kf_id,
             "exposure": exp, "gt": self._cur_gt,
         }
+        entry.update(self._entry_extras())
         if self.pipelined:
             self._pending.append(entry)
             if len(self._pending) > 1:
@@ -775,7 +853,9 @@ class DirectOdometry:
         event (reference: the scalar tail of Hybrid.cpp:167 processFrame)."""
         cfg = self.cfg
         fidx, timestamp, pyr = entry["frame_idx"], entry["ts"], entry["pyr"]
-        sc = jax.device_get(entry["scalars"])
+        sc = entry.get("scalars_np")   # a subclass may have pre-fetched the
+        if sc is None:                 # bundle in a combined per-frame RPC
+            sc = jax.device_get(entry["scalars"])
         rel_R = sc[11:20].reshape(3, 3).astype(np.float64)
         rel_t = sc[20:23].astype(np.float64)
         num_valid = int(sc[0])
@@ -851,6 +931,13 @@ class DirectOdometry:
         for k in ("flow", "energy", "num_valid", "saturated"):
             self.sheet.push(k, fidx, out[k])
         return out
+
+    def _entry_extras(self) -> dict:
+        """Subclass hook: extra device handles to carry in a frame's
+        pending entry (the hybrid stashes its ORB features + PnP results
+        here so its per-frame scalar tail can run at FINALIZE time — one
+        frame later in pipelined mode, when the fetches are free)."""
+        return {}
 
     def _flush_pending(self) -> list[dict]:
         """Finalize every in-flight pipelined frame (end of stream, or
@@ -965,7 +1052,8 @@ class DirectOdometry:
         if ab is None:
             ab = jnp.asarray(
                 getattr(self, "_last_track_ab", np.zeros(2, np.float32)))
-        ab_new = self._kf_ab + jnp.asarray(ab)
+        ab_rel = jnp.asarray(ab)      # promoted frame's ab vs the OLD ref
+        ab_new = self._kf_ab + ab_rel
         window, slot, energy, T_kf = _kf_insert_and_ba(
             window, pyr[0], T_new, ab_new,
             jnp.asarray(frame_idx, jnp.int32), cam, cfg,
@@ -992,16 +1080,30 @@ class DirectOdometry:
             self.map.set_keyframe(i)
             self.map.f_group[i] |= np.uint32(
                 self.map.groups.frame_group("DIRECTKEYFRAME"))
-        # tracking continuity: current pose snaps to the optimized KF pose —
-        # except when later frames are already in flight (pipelined mode):
-        # their speculative poses extend past this keyframe, so snapping
-        # back would feed a stale pose into the motion model
+        # tracking continuity: current pose snaps to the optimized KF pose
         if not self._pending:
             self._T_curr = self._kf_T
         # rebuild tracker reference + seed new immatures, one fused program
         self._tracker_ref, self._immature = _refresh_after_kf(
             window, slot, pyr, self._immature, cam, cfg)
         self._push_recent_row(slot)
+        if self._pending:
+            # pipelined mode: frames dispatched before this event tracked
+            # the OLD reference — re-track them against the fresh one (see
+            # _retrack_step; at lag-1 this is one extra ~8 ms device
+            # program per keyframe, no host block) and rebase the
+            # speculative motion-model chain on the refreshed poses
+            T_prev_w = self._kf_T
+            for e in self._pending:
+                ab_e = e["ab"] - ab_rel
+                T_w, T_r, ab2, sc = _retrack_step(
+                    e["pyr"], cam, self._tracker_ref,
+                    self._kf_T, e["T_world"], ab_e, cfg)
+                self._T_prev = T_prev_w
+                e.update(T_world=T_w, T_rel=T_r, ab=ab2, scalars=sc,
+                         kf_id=self._kf_id)
+                T_prev_w = T_w
+            self._T_curr = T_prev_w
 
         # window full after the insert: start the ASYNC marginalization now
         # (reference order — directMap runs BA, then tryMarginalize,
