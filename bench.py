@@ -27,6 +27,11 @@ import time
 
 import numpy as np
 
+# persistent compile cache: the driver's bench invocation skips the
+# multi-minute XLA compiles through the TPU tunnel on repeat runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 ROOT = os.path.dirname(os.path.abspath(__file__))
 SEQ = os.path.join(ROOT, "benchmarks", "kitti_synth", "sequences", "04")
 

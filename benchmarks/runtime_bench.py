@@ -23,6 +23,10 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# persistent compile cache: repeated benchmark invocations skip the
+# multi-minute XLA compiles through the TPU tunnel
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def main() -> None:
@@ -70,7 +74,8 @@ def main() -> None:
         if args.no_force_kf:
             kw["force_kf_match_ratio"] = 0.0
         dcfg = DecisionConfig(**kw) if kw else None
-        odo = HybridOdometry(cam, cfg, dcfg=dcfg)
+        odo = HybridOdometry(cam, cfg, dcfg=dcfg,
+                             pipelined=args.pipelined)
     else:
         from libcml_tpu.runtime.odometry import DirectOdometry
 
@@ -98,12 +103,28 @@ def main() -> None:
     steady_fps = (n - args.warmup) / (t_end - t_steady)
     total_fps = n / (t_end - t_warm)
 
-    ate = None
+    ate = rpe = None
     if gt is not None:
+        from libcml_tpu.eval.trajectory import rpe_rmse
+
         # align by timestamp (a LOST episode can drop frames)
         idx = np.clip(np.round(np.asarray(ts) / 0.1).astype(int), 0, n - 1)
         ate = float(ate_rmse(est[:, :3, 3], gt[idx, :3, 3],
                              with_scale=True))
+        rpe = float(rpe_rmse(est, gt[idx]))
+
+    # per-phase sheet means over steady-state frames (the same breakdown
+    # profile_hybrid.py reports; committed into results_rNN.json)
+    phases = {}
+    for name, stat in sorted(odo.sheet._stats.items()):
+        fr, vals = stat.series()
+        fr = np.asarray(fr)
+        vals = np.asarray(vals)
+        keep = fr >= args.warmup
+        if not name.startswith("time_") or not keep.any():
+            continue
+        phases[name] = {"mean_ms": round(float(vals[keep].mean()), 2),
+                        "calls": int(keep.sum())}
 
     out = {
         "mode": args.mode + ("+pipelined" if args.pipelined else "")
@@ -114,7 +135,9 @@ def main() -> None:
         "steady_fps": round(steady_fps, 2),
         "total_fps": round(total_fps, 2),
         "ate": round(ate, 4) if ate is not None else None,
+        "rpe": round(rpe, 4) if rpe is not None else None,
         "segments": odo.segments,
+        "phases": phases,
     }
     print(json.dumps(out))
 

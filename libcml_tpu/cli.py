@@ -50,6 +50,14 @@ def main(argv=None) -> int:
                     help="dump processed frames as PNGs into this directory")
     ap.add_argument("-m", "--mode", default=None, choices=["hybrid", "direct"],
                     help="override config.slam")
+    ap.add_argument("--snapshot-every", type=int, default=0, metavar="N",
+                    help="write a map/trajectory snapshot (PLY + HTML "
+                         "viewer) every N frames into <result>/snapshots "
+                         "(the GUI's watch-the-map-evolve analogue; "
+                         "reference: gui/MainSlamWidget.h:36)")
+    ap.add_argument("--memory-limit", type=int, default=0, metavar="MB",
+                    help="stop the run when host RSS exceeds this many MB "
+                         "(reference: AbstractSlam.cpp:150-154)")
     args = ap.parse_args(argv)
 
     from libcml_tpu.data.capture import load_dataset
@@ -58,6 +66,10 @@ def main(argv=None) -> int:
     cfg = SlamConfig()
     if args.config:
         cfg = load_yaml_config(cfg, args.config)
+    if args.memory_limit:
+        cfg = dataclasses.replace(
+            cfg, direct=dataclasses.replace(
+                cfg.direct, memory_limit_mb=args.memory_limit))
     mode = args.mode or cfg.slam
 
     capture = load_dataset(args.dataset)
@@ -92,12 +104,19 @@ def main(argv=None) -> int:
                             gt_pose_c2w=frame.gt_pose_c2w,
                             exposure=getattr(frame, "exposure", None))
         n_done += 1
+        if stats.get("state") == "STOPPED":
+            break
         if args.save_images:
             from PIL import Image
 
             Image.fromarray(
                 np.clip(frame.image, 0, 255).astype(np.uint8)
             ).save(os.path.join(args.save_images, f"{frame.index:06d}.png"))
+        if (args.snapshot_every and n_done % args.snapshot_every == 0):
+            from libcml_tpu.viewer import snapshot
+
+            snap_dir = os.path.join(args.result or ".", "snapshots")
+            snapshot(odo, snap_dir, name=f"map_{n_done:06d}")
     wall = time.perf_counter() - t0
 
     ts, poses = odo.trajectory_c2w()

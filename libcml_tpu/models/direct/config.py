@@ -114,6 +114,9 @@ class DirectConfig:
     stop_on_lost: bool = False    # reference stops after >=60 frames; a
                                   # library runtime restarts a new segment
                                   # unless asked to stop
+    memory_limit_mb: int = 0      # host-RSS kill switch, 0 = off
+                                  # (reference: AbstractSlam.cpp:150-154
+                                  # stops the run when memoryLimit is hit)
 
     # keyframe decision (direct/Tracking.cpp:4 flow+brightness criterion).
     # Score mirrors the reference's resolution-normalized form:

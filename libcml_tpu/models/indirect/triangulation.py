@@ -1,14 +1,18 @@
 """Two-view triangulation: linear DLT and the OPTIMAL (Hartley-Sturm)
-polynomial correction.
+correction.
 
 TPU-native replacement for the reference's Triangulation module
 (reference: src/cml/optimization/Triangulation.h:116 linear Hartley1997,
 :141 optimal 6th-degree-polynomial Hartley2003). The reference corrects one
-match at a time; here every step — epipolar re-parameterization, the
-degree-6 polynomial assembly (by batched polynomial arithmetic rather than
-hand-expanded coefficients), companion-matrix root finding, cost
-evaluation, and the final DLT — is batched over the whole match set and
-jittable.
+match at a time via the degree-6 polynomial's roots (a companion-matrix
+eigensolve — which has NO TPU lowering in XLA, and whose raw pixel-frame
+coefficients span ~20 orders of magnitude, far beyond float32). Here the
+same objective — minimum total squared correction subject to the epipolar
+constraint, 1-D in the epipolar-pencil parameter t — is minimized DIRECTLY:
+the cost s(t) is a well-conditioned ratio of quadratics, so a tan-spaced
+global grid plus golden-section refinement finds the same global optimum
+the polynomial roots enumerate, batched over the whole match set, in
+float32, with nothing but VPU-friendly elementwise math.
 """
 
 from __future__ import annotations
@@ -20,21 +24,49 @@ from libcml_tpu.core.camera import PinholeCamera
 from libcml_tpu.core.lie import SE3
 
 
-def _polymul(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Batched polynomial product: coeffs ascending, shapes (..., n), (..., m)
-    -> (..., n+m-1)."""
-    n = a.shape[-1]
-    m = b.shape[-1]
-    out = jnp.zeros(a.shape[:-1] + (n + m - 1,), a.dtype)
-    for i in range(n):
-        out = out.at[..., i:i + m].add(a[..., i:i + 1] * b)
-    return out
-
-
 def _closest_point_on_line(l: jax.Array) -> jax.Array:
     """Homogeneous point on line l=(lam, mu, nu) closest to the origin."""
     lam, mu, nu = l[..., 0], l[..., 1], l[..., 2]
     return jnp.stack([-lam * nu, -mu * nu, lam * lam + mu * mu], axis=-1)
+
+
+def _min_cost_t(a, b, c, d, f0, f1, grid: int = 129, refine: int = 40):
+    """Globally minimize the Hartley-Sturm pencil cost
+        s(t) = t^2/(1 + f0^2 t^2) + (ct+d)^2/((at+b)^2 + f1^2 (ct+d)^2)
+    over t in (-inf, inf), batched over N correspondences. Parameterizing
+    t = tan(theta) compacts the whole real line into (-pi/2, pi/2); a
+    `grid`-point sweep localizes the global basin and golden-section
+    refinement polishes it. Returns (t_best, cost_best)."""
+
+    def cost(t):
+        At = a[:, None] * t + b[:, None]
+        Ct = c[:, None] * t + d[:, None]
+        s1 = t * t / (1.0 + (f0[:, None] * t) ** 2)
+        s2 = Ct * Ct / (At * At + (f1[:, None] * Ct) ** 2 + 1e-30)
+        return s1 + s2
+
+    half = jnp.pi / 2 - 1e-3
+    theta = jnp.linspace(-half, half, grid)
+    costs = cost(jnp.tan(theta)[None, :])                    # (N, G)
+    best = jnp.argmin(costs, axis=-1)
+    step = theta[1] - theta[0]
+    lo = theta[best] - step
+    hi = theta[best] + step
+
+    gr = 0.6180339887498949
+
+    def body(_, st):
+        lo, hi = st
+        m1 = hi - gr * (hi - lo)
+        m2 = lo + gr * (hi - lo)
+        c1 = cost(jnp.tan(m1)[:, None])[:, 0]
+        c2 = cost(jnp.tan(m2)[:, None])[:, 0]
+        take_lo = c1 < c2
+        return (jnp.where(take_lo, lo, m1), jnp.where(take_lo, m2, hi))
+
+    lo, hi = jax.lax.fori_loop(0, refine, body, (lo, hi))
+    t_best = jnp.tan(0.5 * (lo + hi))
+    return t_best, cost(t_best[:, None])[:, 0]
 
 
 def optimal_correct(
@@ -93,51 +125,16 @@ def optimal_correct(
     c = Fpp[:, 2, 1]
     d = Fpp[:, 2, 2]
 
-    # 3. g(t) = t (a t + b)^2 + f1^2 t (c t + d)^2 ... assembled as
-    #    t * Q(t)^2 - (ad - bc) P(t)^2 A(t) C(t),  ascending coeffs
-    A = jnp.stack([b, a], -1)                                # (N, 2)
-    C = jnp.stack([d, c], -1)
-    P = jnp.stack([jnp.ones_like(f0), jnp.zeros_like(f0), f0 * f0], -1)
-    Q = _polymul(A, A) + f1[:, None] ** 2 * _polymul(C, C)   # (N, 3)
-    tQ2 = jnp.concatenate(
-        [jnp.zeros((N, 1), dtype), _polymul(Q, Q)], axis=-1
-    )                                                        # (N, 6): t*Q^2
-    k = (a * d - b * c)[:, None]
-    g = jnp.concatenate([tQ2, jnp.zeros((N, 1), dtype)], -1) \
-        - jnp.concatenate(
-            [k * _polymul(_polymul(P, P), _polymul(A, C)),
-             jnp.zeros((N, 0), dtype)], -1,
-        )                                                    # (N, 7) deg 6
+    # 3. minimize s(t) over the epipolar pencil directly (see module
+    #    docstring; replaces the reference's degree-6 root enumeration)
+    t_best, cost_best = _min_cost_t(a, b, c, d, f0, f1)
 
-    # 4. roots via companion matrices (batched); guard degenerate lead coeff
-    lead = g[..., -1]
-    lead = jnp.where(jnp.abs(lead) < 1e-20, 1e-20, lead)
-    gm = g / lead[..., None]
-    comp = jnp.zeros((N, 6, 6), dtype)
-    comp = comp.at[:, 1:, :-1].set(jnp.broadcast_to(jnp.eye(5, dtype=dtype),
-                                                    (N, 5, 5)))
-    comp = comp.at[:, :, -1].set(-gm[..., :-1])
-    roots = jnp.linalg.eigvals(comp.astype(jnp.complex64))   # (N, 6)
-
-    # 5. cost s(t) at real roots + the t -> inf asymptote
-    t_re = jnp.real(roots)
-    is_real = jnp.abs(jnp.imag(roots)) < 1e-3 * (1.0 + jnp.abs(t_re))
-
-    def cost(t):  # (N, 6)
-        At = a[:, None] * t + b[:, None]
-        Ct = c[:, None] * t + d[:, None]
-        s1 = t * t / (1.0 + (f0[:, None] * t) ** 2)
-        s2 = Ct * Ct / (At * At + (f1[:, None] * Ct) ** 2 + 1e-30)
-        return s1 + s2
-
-    costs = jnp.where(is_real, cost(t_re), jnp.inf)
-    best = jnp.argmin(costs, axis=-1)
-    t_best = jnp.take_along_axis(t_re, best[:, None], axis=-1)[:, 0]
-    cost_best = jnp.take_along_axis(costs, best[:, None], axis=-1)[:, 0]
+    # 4. compare with the t -> inf asymptote
     cost_inf = 1.0 / jnp.maximum(f0 * f0, 1e-30) + \
         c * c / (a * a + f1 * f1 * c * c + 1e-30)
     use_inf = cost_inf < cost_best
-    # at t=inf the lines become l0 = (f0, 0, -1), l1 = (-f1 c, a, c)
+    # epipolar line pair at parameter t; at t=inf the lines become
+    # l0 = (f0, 0, -1), l1 = (-f1 c, a, c)
     l0_t = jnp.stack([t_best * f0, jnp.ones_like(t_best), -t_best], -1)
     l1_t = jnp.stack(
         [-f1 * (c * t_best + d), a * t_best + b, c * t_best + d], -1
@@ -150,7 +147,7 @@ def optimal_correct(
     x0_hat = _closest_point_on_line(l0)                      # (N, 3) homog
     x1_hat = _closest_point_on_line(l1)
 
-    # 6. transfer back: x = T^-1 R^T x_hat
+    # 5. transfer back: x = T^-1 R^T x_hat
     x0_new = jnp.einsum("nij,nkj,nk->ni", T0inv, R0, x0_hat)
     x1_new = jnp.einsum("nij,nkj,nk->ni", T1inv, R1, x1_hat)
     w0 = jnp.where(jnp.abs(x0_new[..., 2]) < 1e-12, 1e-12, x0_new[..., 2])

@@ -54,6 +54,7 @@ from libcml_tpu.models.indirect.matching import (
 )
 from libcml_tpu.models.indirect.orb import extract_orb
 from libcml_tpu.models.indirect.pnp import solve_pnp, triangulate_linear
+from libcml_tpu.models.indirect.triangulation import optimal_correct
 from libcml_tpu.ops.image import build_pyramid
 from libcml_tpu.runtime.checker import CameraChecker
 from libcml_tpu.runtime.odometry import DirectOdometry
@@ -137,7 +138,12 @@ def _epipolar_triangulate(
     F = Kinv.T @ tx @ T_10.R @ Kinv
     m = match_epipolar(desc0, uv0, valid0, desc1, uv1, valid1, F)
     ok = orientation_check(angle0, angle1, m.idx, m.valid)
-    X0, tri_ok = triangulate_linear(uv0, uv1[m.idx], T_10, cam)
+    # optimal (Hartley-Sturm) correction before the DLT: accepted pairs are
+    # moved the minimum distance onto the epipolar constraint, which the
+    # reference applies in its triangulation path (reference:
+    # optimization/Triangulation.h:141 triangulateOptimal)
+    uv0c, uv1c = optimal_correct(uv0, uv1[m.idx], F)
+    X0, tri_ok = triangulate_linear(uv0c, uv1c, T_10, cam)
     # parallax + depth sanity (reference prunes low-parallax triangulations)
     depth_ok = (X0[:, 2] > 1e-3) & (X0[:, 2] < 1e4)
     return m, X0, ok & tri_ok & depth_ok

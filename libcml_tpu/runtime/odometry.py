@@ -66,6 +66,19 @@ from libcml_tpu.runtime.stats import StatsSheet
 from libcml_tpu.utils import logging as log
 
 
+def _rss_mb() -> float:
+    """Current process resident-set size in MB (Linux /proc; the portable
+    fallback reports 0 so the kill switch degrades to a no-op)."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        import resource
+
+        return pages * resource.getpagesize() / 1e6
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 # ---------------------------------------------------------------------------
 # Jitted device programs (config is static → one compile per config)
 # ---------------------------------------------------------------------------
@@ -666,6 +679,19 @@ class DirectOdometry:
         Map.cpp:578)."""
         self.frame_idx += 1
         log.set_frame(self.frame_idx)
+        # host-memory kill switch (reference: AbstractSlam.cpp:150-154 —
+        # abort the run when RSS exceeds the configured limit rather than
+        # letting the OOM killer take the whole process)
+        if self.cfg.memory_limit_mb > 0 and self.frame_idx % 10 == 0:
+            rss = _rss_mb()
+            self.sheet.push("memory_mb", self.frame_idx, rss)
+            if rss > self.cfg.memory_limit_mb:
+                log.important(
+                    "memory limit exceeded (%.0f MB > %d MB): stopping",
+                    rss, self.cfg.memory_limit_mb)
+                self._flush_pending()
+                self.stopped = True
+                return {"state": "STOPPED", "memory_mb": rss}
         self._cur_gt = gt_pose_c2w
         self._cur_exposure = exposure
         img = jnp.asarray(image, jnp.float32)
