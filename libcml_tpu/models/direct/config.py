@@ -63,6 +63,10 @@ class DirectConfig:
                                   # mode vs bacond* gating)
     mixed_points: int = 256       # indirect-factor capacity in the window
     mixed_weight: float = 10.0    # information scale of reprojection terms
+    mixed_photo_guard: float = 1.25   # rollback when the joint solve grows
+                                  # the photometric-only energy beyond this
+                                  # factor (the tracking reference lives in
+                                  # this window; see _mixed_ba_dispatch)
                                   # relative to photometric units (the
                                   # reference exposes the analogous knob as a
                                   # Hybrid parameter). Photometric terms are

@@ -30,6 +30,11 @@ from libcml_tpu.runtime.hybrid import HybridOdometry
 class CalibSlam(HybridOdometry):
     """Hybrid SLAM + self-calibration harvesting."""
 
+    # raw distorted footage: Hartley-Sturm correction would project the
+    # distortion signal onto the assumed-pinhole epipolar constraint and
+    # bias the fit (see _epipolar_triangulate)
+    optimal_triangulation = False
+
     def __init__(self, cam: PinholeCamera, *args, **kw):
         super().__init__(cam, *args, **kw)
         # geometric correspondences (camera-frame point, observed pixel)

@@ -78,22 +78,90 @@ _run_local_ba = jax.jit(iba.run_local_ba,
 
 _run_mixed_ba = jax.jit(ba_mod.run_ba_mixed, static_argnames=("cfg",))
 
+# jitted per-call wrappers for device functions the host driver invokes
+# directly — calling the raw (traced-eager) versions costs one ~100 ms
+# tunnel round trip PER PRIMITIVE (round-5 cProfile: 701 eager primitives
+# in 35 steady frames = 77 s of a 101 s wall)
+_match_projection = jax.jit(match_projection)
+
+
+@jax.jit
+def _local_map_pass2(
+    Xw, desc_p, valid_p, level_p, T_refined: SE3, cam: PinholeCamera,
+    feats_desc, feats_uv, feats_level, feats_valid,
+):
+    """SECOND local-map tracking pass (reference:
+    indirect/Tracking.cpp:413-632 — indirectTrackLocalMap:
+    searchLocalPoints at the refined pose -> re-optimize -> inlier count
+    feeding the keyframe and failure decisions). The first pass matched at
+    the PREDICTED pose before direct refinement; re-projecting the map at
+    the REFINED pose recovers matches the prediction error pushed outside
+    the first pass's search radius, and its motion-only PnP inlier count is
+    the tracking-quality statistic the reference's decisions consume.
+    Dispatch-only: the bundle rides the NEXT frame's combined fetch."""
+    m, uv_p = match_projection(
+        Xw, desc_p, valid_p, level_p, T_refined, cam,
+        feats_desc, feats_uv, feats_level, feats_valid,
+        radius=9.0,   # tighter radius than pass 1: the pose is refined
+    )
+    uv_obs = feats_uv[m.idx]
+    sigma2 = 1.2 ** (2.0 * feats_level[m.idx].astype(jnp.float32))
+    res = solve_pnp(Xw, uv_obs, m.valid, T_refined, cam, sigma2=sigma2)
+    finite = jnp.all(jnp.isfinite(res.T.t)) & jnp.all(jnp.isfinite(res.T.R))
+    bundle = jnp.asarray(
+        [m.num, res.num_inliers, finite], jnp.float32).reshape(-1)
+    return m.valid, bundle
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _mixed_ba_dispatch(ba, images, cam, cfg, ind, kf_slot):
+    """The ENTIRE mixed-BA device half as one program: joint photometric +
+    reprojection solve, refined host-frame points, and the promoted
+    keyframe's refreshed pose — the eager unproject/tree-slice tail of the
+    old dispatch cost ~80 s per 4 calls in tunnel round trips.
+
+    Also returns the window's PHOTOMETRIC-only energy before and after the
+    joint solve: the joint accept/reject can legally trade photometric
+    energy for reprojection energy, and a solve that degrades the
+    photometric optimum degrades the TRACKING REFERENCE built from the
+    window — measured round 5 as a deterministic saturated-residual
+    tracking collapse two frames after a mixed event. The completion tick
+    rolls the swap back when the photometric energy regressed beyond the
+    guard (reference analogue: Hybrid.cpp keeps the indirect correction
+    only when bundleAdjustmentDecision distrusts the photometric state)."""
+    E_photo0 = ba_mod.total_energy(ba, images, cam, cfg)
+    new_ba, new_ind, E = ba_mod.run_ba_mixed(ba, images, cam, cfg, ind)
+    # re-anchor the linearization point at the post-mixed state (exact
+    # prior shift), exactly as every other state-moving event does — the
+    # mixed solve otherwise leaves the window mid-way between relinearize
+    # points, and the stale-FEJ inconsistency compounds through later
+    # marginalizations
+    new_ba = ba_mod.relinearize(new_ba)
+    E_photo1 = ba_mod.total_energy(new_ba, images, cam, cfg)
+    Xh = cam.unproject(new_ind.uv, new_ind.idepth)
+    kf_T = jax.tree.map(lambda x: x[kf_slot], new_ba.T)
+    return new_ba, new_ind.point_valid, E, Xh, kf_T, E_photo0, E_photo1
+
 
 @jax.jit
 def _project_match_pnp(
-    Xw, desc_p, valid_p, level_p, T_pred: SE3, cam: PinholeCamera,
+    Xw, desc_p, valid_p, level_p, T_curr: SE3, T_prev: SE3,
+    cam: PinholeCamera,
     feats_desc, feats_uv, feats_level, feats_angle, feats_valid,
-    T_last: SE3 | None = None,
 ):
-    """One device program: project map -> radius/level-masked Hamming match
-    -> motion-only PnP with covariance (the reference's
-    indirectTrackWithCMLGraph + IndirectCameraOptimizer, fused).
+    """One device program: constant-velocity pose prediction -> project map
+    -> radius/level-masked Hamming match -> motion-only PnP with covariance
+    (the reference's indirectTrackWithCMLGraph + IndirectCameraOptimizer,
+    fused). The motion-model prediction runs INSIDE the program — composing
+    it eagerly on the host cost 4 device round trips per frame (~100 ms
+    each through the tunnel; round-5 cProfile).
 
     Also returns a flat host BUNDLE [num_matches, num_inliers, finite,
     R(9), t(3), cov_rot(3), motion_dt, motion_ang] so the runtime's scalar
-    decisions cost ONE device->host RPC (~30 ms fixed each through the
-    tunnel). `motion_*` measure the solved pose against T_last (the
-    previous frame's pose) for the host-side CameraChecker."""
+    decisions cost ONE device->host RPC, and `use_seed` — the device-side
+    inlier/finite gate for ORB-first seeding of the direct spine."""
+    T_delta = T_curr.compose(T_prev.inverse())
+    T_pred = T_delta.compose(T_curr)
     m, uv_p = match_projection(
         Xw, desc_p, valid_p, level_p, T_pred, cam,
         feats_desc, feats_uv, feats_level, feats_valid,
@@ -103,8 +171,7 @@ def _project_match_pnp(
     res = solve_pnp(Xw, uv_obs, m.valid, T_pred, cam, sigma2=sigma2)
     finite = jnp.all(jnp.isfinite(res.T.t)) & jnp.all(jnp.isfinite(res.T.R))
     cov_rot = jnp.diagonal(res.cov)[3:6]
-    if T_last is None:
-        T_last = T_pred
+    T_last = T_curr
     rel_R = res.T.R @ T_last.R.T
     ang = jnp.arccos(jnp.clip((jnp.trace(rel_R) - 1.0) / 2.0, -1.0, 1.0))
     dt = jnp.linalg.norm(res.T.t - rel_R @ T_last.t)
@@ -116,18 +183,28 @@ def _project_match_pnp(
         cov_rot.astype(jnp.float32),
         jnp.asarray([dt, ang], jnp.float32).reshape(-1),
     ])
-    return m, res, bundle
+    use_seed = (res.num_inliers >= 12) & finite
+    return m, res, bundle, use_seed
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("optimal",))
 def _epipolar_triangulate(
     desc0, uv0, valid0, angle0,
     desc1, uv1, valid1, angle1,
-    T_10: SE3, cam: PinholeCamera,
+    T_new: SE3, T0: SE3, cam: PinholeCamera, optimal: bool = True,
 ):
     """Epipolar-constrained matching between two keyframes + linear
     triangulation (the reference's trackForTriangulation + createNewPoints
-    path, indirect/Mapping.cpp:139-239)."""
+    path, indirect/Mapping.cpp:139-239). The relative pose T_10 and its
+    baseline norm are computed INSIDE the program (host-eager SE3 algebra
+    costs ~100 ms per primitive through the tunnel).
+
+    `optimal` applies the Hartley-Sturm correction before the DLT
+    (reference: Triangulation.h:141). Calib SLAM disables it: on RAW
+    distorted footage the correction projects the distortion signal onto
+    the assumed-pinhole epipolar constraint, biasing the distortion fit."""
+    T_10 = T_new.compose(T0.inverse())
+    t_norm = jnp.linalg.norm(T_10.t)
     K = cam.K()
     Kinv = jnp.linalg.inv(K)
     tx = jnp.array([
@@ -142,11 +219,14 @@ def _epipolar_triangulate(
     # moved the minimum distance onto the epipolar constraint, which the
     # reference applies in its triangulation path (reference:
     # optimization/Triangulation.h:141 triangulateOptimal)
-    uv0c, uv1c = optimal_correct(uv0, uv1[m.idx], F)
+    if optimal:
+        uv0c, uv1c = optimal_correct(uv0, uv1[m.idx], F)
+    else:
+        uv0c, uv1c = uv0, uv1[m.idx]
     X0, tri_ok = triangulate_linear(uv0c, uv1c, T_10, cam)
     # parallax + depth sanity (reference prunes low-parallax triangulations)
     depth_ok = (X0[:, 2] > 1e-3) & (X0[:, 2] < 1e4)
-    return m, X0, ok & tri_ok & depth_ok
+    return m, X0, ok & tri_ok & depth_ok, t_norm
 
 
 class HybridOdometry(DirectOdometry):
@@ -212,6 +292,11 @@ class HybridOdometry(DirectOdometry):
         self._pending_extras: dict | None = None
         self._indpost: dict | None = None    # in-flight staged indirect
                                              # keyframe postprocess
+        self._pass2: dict | None = None      # in-flight second local-map
+                                             # tracking pass (dispatched at
+                                             # the refined pose; consumed in
+                                             # the NEXT frame's bundle RPC)
+        self._last_pass2: tuple | None = None   # (matches, inliers, fidx)
 
     # -- map arena ----------------------------------------------------------
 
@@ -433,14 +518,12 @@ class HybridOdometry(DirectOdometry):
         use_seed_dev = None
         if n_map >= self.dcfg.min_orb_matches:
             Xw, desc, valid, level = self._map_device()
-            T_delta = self._T_curr.compose(self._T_prev.inverse())
-            T_pred = T_delta.compose(self._T_curr)
             with self.sheet.timer("time_pnp").frame(self.frame_idx):
-                m, pnp, bundle = _project_match_pnp(
-                    Xw, desc, valid, level, T_pred, self.cam,
+                m, pnp, bundle, seed_gate = _project_match_pnp(
+                    Xw, desc, valid, level, self._T_curr, self._T_prev,
+                    self.cam,
                     feats.desc, feats.uv, feats.level, feats.angle,
                     feats.valid,
-                    T_last=self._T_curr,
                 )
             self._pending_extras.update(
                 pnp_bundle=bundle, pnp_mvalid=m.valid, pnp_T=pnp.T)
@@ -448,10 +531,12 @@ class HybridOdometry(DirectOdometry):
             # Hybrid.cpp:330): the host gate is the LATEST finalized mode
             # decision (one frame stale in pipelined mode — the mode is a
             # windowed statistic and moves slowly); the per-frame
-            # inlier/finite gate is a DEVICE scalar riding the PnP bundle
+            # inlier/finite gate is a DEVICE scalar computed inside the
+            # PnP program (an eager comparison chain here cost ~5 tunnel
+            # round trips per frame)
             if self._last_mode == Mode.INDIRECT:
                 seed = pnp.T
-                use_seed_dev = (bundle[1] >= 12) & (bundle[2] > 0.5)
+                use_seed_dev = seed_gate
         return super()._track_frame(pyr, img, timestamp, T_seed=seed,
                                     use_seed_dev=use_seed_dev)
 
@@ -481,13 +566,17 @@ class HybridOdometry(DirectOdometry):
                 want.append(None)
             ip_refs = self._indpost_fetch_refs()
             want.append(ip_refs if ip_refs is not None else None)
+            p2 = self._pass2
+            want.append((p2["mvalid"], p2["bundle"]) if p2 else None)
             with self.sheet.timer("time_bundle_fetch").frame(fidx):
-                sc_np, pnp_np, ip_np = jax.device_get(tuple(want))
+                sc_np, pnp_np, ip_np, p2_np = jax.device_get(tuple(want))
             entry["scalars_np"] = sc_np
             if pnp_np is not None:
                 entry["pnp_np"] = pnp_np
             if ip_refs is not None:
                 self._tick_indpost(ip_np)
+            if p2 is not None:
+                self._consume_pass2(p2, p2_np)
         out = super()._finalize_frame(entry)
         if feats is None:
             return out
@@ -555,6 +644,14 @@ class HybridOdometry(DirectOdometry):
         # extra events chewed through the window's marginalization budget.
         # In the reference the two pipelines likewise keyframe
         # independently (indirectNeedNewKeyFrame vs directNeedNewKeyFrame).
+        # The tracked-count signal prefers the SECOND local-map pass when a
+        # recent one landed (reference: Tracking.cpp's matchesInliers from
+        # indirectTrackLocalMap feeds needNewKeyFrame) — the pass-1 count
+        # at the predicted pose undercounts exactly when the motion model
+        # mispredicts, which is when a spurious forced keyframe would fire.
+        n_kf_signal = n_matches
+        if self._last_pass2 is not None and fidx - self._last_pass2[2] <= 2:
+            n_kf_signal = max(n_matches, self._last_pass2[0])
         if out.get("kf"):
             with self.sheet.timer("time_ind_post").frame(fidx):
                 self._indirect_postprocess(feats, timestamp, frame_idx=fidx)
@@ -562,7 +659,7 @@ class HybridOdometry(DirectOdometry):
             out.get("ok")
             and self._last_kf_feats is not None
             and self.dcfg.force_kf_match_ratio > 0
-            and n_matches < self.dcfg.force_kf_match_ratio
+            and n_kf_signal < self.dcfg.force_kf_match_ratio
                 * max(self._ref_kf_tracked, 1)
             and fidx - self._last_kf_idx >= 3
         ):
@@ -570,8 +667,35 @@ class HybridOdometry(DirectOdometry):
                 self._indirect_postprocess(feats, timestamp,
                                            T_pose=entry["T_world"],
                                            frame_idx=fidx)
+        # dispatch the SECOND local-map tracking pass at this frame's
+        # REFINED pose (consumed in the next frame's bundle RPC)
+        if (
+            out.get("ok")
+            and out["state"] == "TRACKING"
+            and int(self._pt_valid.sum()) >= self.dcfg.min_orb_matches
+        ):
+            Xw, desc, valid, level = self._map_device()
+            mv2, b2 = _local_map_pass2(
+                Xw, desc, valid, level, entry["T_world"], self.cam,
+                feats.desc, feats.uv, feats.level, feats.valid,
+            )
+            self._pass2 = {"mvalid": mv2, "bundle": b2, "frame_idx": fidx}
         self._cull_map_points()
         return out
+
+    def _consume_pass2(self, p2, fetched):
+        """Land a completed second local-map pass: refresh point last-seen
+        stamps and record the inlier statistic the keyframe decision reads
+        (reference: Tracking.cpp:600-632 inlier bookkeeping)."""
+        self._pass2 = None
+        mvalid, b = fetched
+        n2, inl2 = int(b[0]), int(b[1])
+        fidx = p2["frame_idx"]
+        if b[2] > 0.5:
+            self._pt_last_seen[mvalid] = fidx
+            self._last_pass2 = (n2, inl2, fidx)
+            self.sheet.push("pass2_matches", fidx, float(n2))
+            self.sheet.push("pass2_inliers", fidx, float(inl2))
 
     # -- keyframe postprocess ------------------------------------------------
 
@@ -601,22 +725,23 @@ class HybridOdometry(DirectOdometry):
         tri = None
         if self._last_kf_feats is not None:
             f0, T0 = self._last_kf_feats, self._last_kf_T
-            T_10 = T_new.compose(T0.inverse())
-            m0, X0, ok = _epipolar_triangulate(
+            m0, X0, ok, t_norm = _epipolar_triangulate(
                 f0.desc, f0.uv, f0.valid, f0.angle,
                 feats.desc, feats.uv, feats.valid, feats.angle,
-                T_10, self.cam,
+                T_new, T0, self.cam,
+                optimal=getattr(self, "optimal_triangulation", True),
             )
-            tri = (jnp.linalg.norm(T_10.t), X0, ok, f0.desc, f0.level,
+            tri = (t_norm, X0, ok, f0.desc, f0.level,
                    T0.R, T0.t, m0.idx, m0.dist)
 
         Xw_d, desc_d, valid_d, level_d = self._map_device()
-        m, uv_p = match_projection(
+        m, uv_p = _match_projection(
             Xw_d, desc_d, valid_d, level_d, T_new, self.cam,
             feats.desc, feats.uv, feats.level, feats.valid,
         )
         self._indpost = {
             "phase": "match",
+            "tick_born": self.frame_idx,
             "feats": feats,
             "frame_idx": frame_idx,
             "timestamp": timestamp,
@@ -647,13 +772,26 @@ class HybridOdometry(DirectOdometry):
 
     # -- staged indirect postprocess ticks -----------------------------------
 
+    # frames a staged tick's device programs get to execute before their
+    # results are fetched: fetching a freshly-dispatched mixed/local BA in
+    # the NEXT frame's bundle RPC blocks that fetch on the solver's device
+    # time (measured round 5: 127 ms mean bundle fetch vs the ~30 ms floor)
+    TICK_LAG = 2
+
     def _indpost_fetch_refs(self):
         """Device refs the current indirect-postprocess tick consumes (the
         per-frame finalize fetches them in the SAME RPC as the frame
-        bundle), or None when no event is in flight."""
+        bundle), or None when no event is in flight or the tick's programs
+        are younger than TICK_LAG frames."""
         st = self._indpost
         if st is None:
             return None
+        if self.frame_idx - st.get("tick_born", -10) < self.TICK_LAG:
+            return None
+        return self._indpost_refs_raw(st)
+
+    @staticmethod
+    def _indpost_refs_raw(st):
         if st["phase"] == "match":
             return st["fetch_refs"]
         if st["phase"] == "ba":
@@ -668,8 +806,8 @@ class HybridOdometry(DirectOdometry):
         if st is None:
             return
         if fetched is None:
-            refs = self._indpost_fetch_refs()
-            fetched = jax.device_get(refs) if refs is not None else None
+            # forced completion path: bypass the TICK_LAG readiness gate
+            fetched = jax.device_get(self._indpost_refs_raw(st))
         with self.sheet.timer("time_ind_tick").frame(st["frame_idx"]):
             if st["phase"] == "match":
                 self._indpost_match(st, fetched)
@@ -677,6 +815,10 @@ class HybridOdometry(DirectOdometry):
                 self._indpost_ba(st, fetched)
             else:
                 self._indpost_local(st, fetched)
+        if self._indpost is st:
+            # the next tick's programs were dispatched just now — give them
+            # TICK_LAG frames of device time before their fetch
+            st["tick_born"] = self.frame_idx
 
     def _complete_indpost(self):
         while self._indpost is not None:
@@ -1009,9 +1151,11 @@ class HybridOdometry(DirectOdometry):
         restart, AbstractSlam.cpp:98-104)."""
         keep_map = getattr(self, "_reloc_restart", False)
         self._reloc_restart = False
-        # drop any in-flight staged postprocess: it references the window
-        # and map state being torn down
+        # drop any in-flight staged postprocess / second-pass dispatch:
+        # they reference the window and map state being torn down
         self._indpost = None
+        self._pass2 = None
+        self._last_pass2 = None
         super()._restart_segment(pyr, timestamp, anchor)
         self._ind_kfs = []
         self._last_kf_feats = None
@@ -1120,31 +1264,39 @@ class HybridOdometry(DirectOdometry):
         if ind is None:
             return None, None
         w = self._window
-        new_ba, new_ind, E = _run_mixed_ba(
-            w.ba, w.images, self.cam, self.cfg, ind
+        new_ba, piv, E, Xh_dev, kf_T, Ep0, Ep1 = _mixed_ba_dispatch(
+            w.ba, w.images, self.cam, self.cfg, ind,
+            jnp.asarray(self._kf_slot),
         )
-        Xh_dev = self.cam.unproject(new_ind.uv, new_ind.idepth)
         self._window = w.replace(ba=new_ba)
         # the promoted keyframe's pose may have moved: refresh the device
         # handle + tracker reference (dispatches only). The speculative
         # _T_curr chain is NOT reset here — in-flight frames extend past
         # the keyframe (the sequential path resets below, in complete).
-        self._kf_T = jax.tree.map(lambda x: x[self._kf_slot], new_ba.T)
+        self._kf_T = kf_T
         self._rebuild_tracker_ref()
         mx = {"w_old": w, "new_ba": new_ba, "host": host,
               "map_slots": map_slots}
-        refs = (E, new_ind.point_valid, new_ba.T.R, new_ba.T.t,
-                new_ba.frame_valid, Xh_dev)
+        refs = (E, piv, new_ba.T.R, new_ba.T.t,
+                new_ba.frame_valid, Xh_dev, Ep0, Ep1)
         return mx, refs
 
     def _complete_mixed_window_ba(self, mx, fetched):
         """Mixed BA COMPLETE half: energy validation, host-cache refresh,
         map-point writeback, keyframe-ring pose refresh."""
-        (E_np, piv, R, t, fvalid, Xh) = fetched
-        if not np.isfinite(E_np):
-            # diverged: roll the optimistic swap back (no keyframe event
-            # can intervene between dispatch and complete —
-            # _make_keyframe force-completes the pipeline first)
+        (E_np, piv, R, t, fvalid, Xh, Ep0, Ep1) = fetched
+        # reject when diverged (non-finite) OR when the joint solve traded
+        # away too much photometric energy: the tracking reference is built
+        # from this window, and a photometrically-degraded window collapses
+        # tracking within two frames (round 5: deterministic saturated=0.87
+        # failure at the 500-frame benchmark's f88 with no guard)
+        guard = getattr(self.cfg, "mixed_photo_guard", 1.25)
+        if not np.isfinite(E_np) or not np.isfinite(Ep1) \
+                or Ep1 > guard * max(float(Ep0), 1e-6):
+            self.sheet.push("mixed_ba_rollback", self.frame_idx, 1.0)
+            # roll the optimistic swap back (no keyframe event can
+            # intervene between dispatch and complete — _make_keyframe
+            # force-completes the pipeline first)
             if self._window.ba is mx["new_ba"]:
                 self._window = self._window.replace(ba=mx["w_old"].ba)
                 self._kf_T = jax.tree.map(

@@ -251,6 +251,7 @@ def _retrack_step(
     kf_T: SE3,
     T_world_prev: SE3,
     ab_init,
+    ab_shift,
     cfg: DirectConfig,
 ):
     """Re-track ONE in-flight pipelined frame against a JUST-created
@@ -273,14 +274,27 @@ def _retrack_step(
     bundle layout so _finalize_frame consumes it unchanged.
     """
     T_init = T_world_prev.compose(kf_T.inverse())
-    res = track(grad_pyr, cam, ref, T_init, ab_init, cfg)
+    ab_init = ab_init - ab_shift  # rebase ab onto the NEW reference frame
+    res0 = track(grad_pyr, cam, ref, T_init, ab_init, cfg)
+    finite0 = jnp.all(jnp.isfinite(res0.T_ji.t))
+    suspect = (
+        (res0.num_valid < 24)
+        | (res0.saturated >= 0.5 * cfg.fail_saturated)
+        | ~finite0
+    )
+    # same conditional recovery battery as _frame_step: near sharp turns
+    # the single retrack sits on a knife edge (measured round 5: a
+    # deterministic saturated-residual collapse at the benchmark's yaw
+    # reversal that the battery-less retrack could not recover)
+    res = jax.lax.cond(
+        suspect,
+        lambda: track_multi(
+            grad_pyr, cam, ref,
+            motion_hypotheses(T_init, T_init), ab_init, cfg),
+        lambda: res0,
+    )
     finite = jnp.all(jnp.isfinite(res.T_ji.t)) & jnp.all(
         jnp.isfinite(res.T_ji.R))
-    suspect = (
-        (res.num_valid < 24)
-        | (res.saturated >= 0.5 * cfg.fail_saturated)
-        | ~finite
-    )
     pose_ok = (res.num_valid >= 24) & finite & (
         res.saturated < cfg.fail_saturated)
     T_world = _tree_select(
@@ -404,7 +418,8 @@ def _kf_insert_and_ba(
     window: win_mod.Window,
     grad0,
     T_new: SE3,
-    ab_new,
+    ab_kf,
+    ab_rel,
     frame_id,
     cam,
     cfg: DirectConfig,
@@ -412,14 +427,17 @@ def _kf_insert_and_ba(
     """Insert keyframe + run windowed photometric BA + outlier ejection —
     one compiled program per keyframe event. (Point activation happens
     separately from the immature arena, before this call.) Also returns the
-    new keyframe's OPTIMIZED pose so the host never has to fetch it."""
+    new keyframe's OPTIMIZED pose and absolute (a,b) so the host never has
+    to fetch or eagerly combine them (each eager device op through the
+    remote-TPU tunnel costs ~100 ms; see round-5 cProfile in BASELINE.md)."""
+    ab_new = ab_kf + ab_rel       # promoted frame's ab vs the OLD reference
     window, slot = win_mod.add_keyframe(window, grad0, T_new, ab_new, frame_id)
     # fresh Jacobians once per keyframe event (prior shifted exactly)
     window = window.replace(ba=ba_mod.relinearize(window.ba))
     new_ba, energy = ba_mod.run_ba(window.ba, window.images, cam, cfg)
     new_ba = ba_mod.update_residual_status(new_ba, window.images, cam, cfg)
     T_kf = jax.tree.map(lambda x: x[slot], new_ba.T)
-    return window.replace(ba=new_ba), slot, energy, T_kf
+    return window.replace(ba=new_ba), slot, energy, T_kf, ab_new
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -474,11 +492,27 @@ def _marg_finish(window: win_mod.Window, immature: ImmatureArena,
     return window, immature
 
 
+# jitted: called once per keyframe event from the host driver — the raw
+# function is ~30 eager primitives, each a ~100 ms tunnel round trip
+_choose_marg_slot = jax.jit(win_mod.choose_marginalization_slot)
+
+# shared identity pose: building SE3.identity() per frame is 2-4 eager
+# device ops through the tunnel
+_SE3_ID = SE3.identity()
+
+
+@jax.jit
+def _push_row(rows, slot):
+    """Shift `slot` into the recent-rows ring (device side)."""
+    return jnp.concatenate(
+        [jnp.reshape(jnp.asarray(slot, jnp.int32), (1,)), rows[:-1]])
+
+
 def _marginalize(window: win_mod.Window, latest_slot, cam, cfg: DirectConfig):
     """Host-driven: slot choice on device, prior algebra in f64 on host
     (ba.marginalize_frame_f64 — the f32 Schur noise at ~1e10 magnitude
     otherwise drifts the monocular scale ~10% per marginalization)."""
-    slot = int(win_mod.choose_marginalization_slot(window, latest_slot))
+    slot = int(_choose_marg_slot(window, latest_slot))
     new_ba = ba_mod.marginalize_frame_f64(
         window.ba, window.images, cam, cfg, slot
     )
@@ -826,10 +860,12 @@ class DirectOdometry:
         self._complete_pending_marg(min_age=2)
         # `use_seed_dev` lets a subclass gate the seed with a DEVICE scalar
         # (e.g. the hybrid's PnP inlier test riding its result bundle) so
-        # no host fetch is needed before dispatch
-        use_seed = (jnp.asarray(T_seed is not None) if use_seed_dev is None
+        # no host fetch is needed before dispatch. np scalars/arrays here
+        # (not jnp) — an eager jnp op is a ~100 ms tunnel round trip, while
+        # numpy operands upload as part of the jit call itself
+        use_seed = (np.bool_(T_seed is not None) if use_seed_dev is None
                     else use_seed_dev)
-        seed = T_seed if T_seed is not None else SE3.identity()
+        seed = T_seed if T_seed is not None else _SE3_ID
         exp = getattr(self, "_cur_exposure", None)
         a0 = 0.0
         if exp and getattr(self, "_kf_exposure", None):
@@ -840,7 +876,7 @@ class DirectOdometry:
                 self._window.ba.T, self._window.ba.frame_valid,
                 self._kf_T, self._T_curr, self._T_prev,
                 seed, use_seed, self._recent_rows,
-                jnp.asarray([a0, 0.0], jnp.float32), cfg,
+                np.asarray([a0, 0.0], np.float32), cfg,
             )
         self._immature = imm2
         self._T_prev = self._T_curr
@@ -1076,13 +1112,12 @@ class DirectOdometry:
                                                      cfg)
 
         if ab is None:
-            ab = jnp.asarray(
+            ab = np.asarray(
                 getattr(self, "_last_track_ab", np.zeros(2, np.float32)))
-        ab_rel = jnp.asarray(ab)      # promoted frame's ab vs the OLD ref
-        ab_new = self._kf_ab + ab_rel
-        window, slot, energy, T_kf = _kf_insert_and_ba(
-            window, pyr[0], T_new, ab_new,
-            jnp.asarray(frame_idx, jnp.int32), cam, cfg,
+        ab_rel = ab                   # promoted frame's ab vs the OLD ref
+        window, slot, energy, T_kf, ab_new = _kf_insert_and_ba(
+            window, pyr[0], T_new, self._kf_ab, ab_rel,
+            np.int32(frame_idx), cam, cfg,
         )
 
         self._window = window
@@ -1121,10 +1156,9 @@ class DirectOdometry:
             # speculative motion-model chain on the refreshed poses
             T_prev_w = self._kf_T
             for e in self._pending:
-                ab_e = e["ab"] - ab_rel
                 T_w, T_r, ab2, sc = _retrack_step(
                     e["pyr"], cam, self._tracker_ref,
-                    self._kf_T, e["T_world"], ab_e, cfg)
+                    self._kf_T, e["T_world"], e["ab"], ab_rel, cfg)
                 self._T_prev = T_prev_w
                 e.update(T_world=T_w, T_rel=T_r, ab=ab2, scalars=sc,
                          kf_id=self._kf_id)
@@ -1152,9 +1186,7 @@ class DirectOdometry:
     def _push_recent_row(self, slot):
         """Record `slot` (device scalar ok) as the most recently seeded
         immature row; the tracer only sweeps these (trace_immatures_rows)."""
-        self._recent_rows = jnp.concatenate(
-            [jnp.reshape(jnp.asarray(slot, jnp.int32), (1,)),
-             self._recent_rows[:-1]])
+        self._recent_rows = _push_row(self._recent_rows, slot)
 
     # -- asynchronous marginalization -----------------------------------------
 
@@ -1165,7 +1197,7 @@ class DirectOdometry:
         result is long ready. Hides the dominant keyframe-event line item
         (~127 ms measured) behind subsequent frames' tracking."""
         window = self._window
-        slot_dev = win_mod.choose_marginalization_slot(
+        slot_dev = _choose_marg_slot(
             window, jnp.asarray(self._kf_slot))
         pieces = ba_mod._marg_pieces(window.ba, window.images, self.cam,
                                      self.cfg, slot_dev)
