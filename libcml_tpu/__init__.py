@@ -1,10 +1,14 @@
 """libcml_tpu — a TPU-native monocular SLAM framework (MOD-SLAM capabilities).
 
-Brand-new JAX/XLA/Pallas design with the capability surface of libCML / MOD SLAM
+Brand-new JAX/XLA design with the capability surface of libCML / MOD SLAM
 (see SURVEY.md): a mixed direct (DSO-style photometric) + indirect (ORB feature)
 SLAM. State lives in fixed-capacity struct-of-arrays pytrees; hot loops are
-batched XLA/Pallas kernels; scaling comes from sharding points/residuals over a
-`jax.sharding.Mesh` with psum-reduced camera systems.
+batched XLA programs fused per frame (the gather-bound linearize sweep is
+XLA's to schedule — see BASELINE.md roofline), with one hand-written Pallas
+kernel where fusion beyond XLA's reach pays: the dense masked-Hamming match
+resolution (ops/pallas_match.py — xor+popcount+top2+mutual in a single VMEM
+sweep, no materialized distance matrix). Scaling comes from sharding
+points/residuals over a `jax.sharding.Mesh` with psum-reduced camera systems.
 
 Subpackages:
   core      — Lie groups (SO3/SE3), camera/distortion models, geometry

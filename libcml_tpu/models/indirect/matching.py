@@ -44,6 +44,50 @@ class MatchResult:
     num: jax.Array        # () int32 number of valid matches
 
 
+def _use_pallas_match() -> bool:
+    """Route the matcher through the fused Pallas kernel on TPU backends.
+
+    Decided at TRACE time (the backend cannot change mid-process); the
+    interpreted fallback keeps the CPU test platform on the identical code
+    path only in the dedicated parity tests — the plain XLA formulation is
+    faster under interpretation."""
+    import os
+
+    if os.environ.get("LIBCML_PALLAS_MATCH", "1") != "1":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
+def _resolve_from_desc(
+    desc_q: jax.Array,
+    desc_t: jax.Array,
+    row_mask: jax.Array,
+    col_mask: jax.Array,
+    pair_mask: jax.Array | None,
+    max_dist: int,
+    ratio: float,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Masked-Hamming match resolution from raw descriptors: per-row best +
+    second best with Lowe ratio, then mutual-best cross-check (the
+    reference's CornerMatchingGraph::resolveByRatio semantics,
+    CornerMatcher.h:295). On TPU the whole resolution runs as ONE fused
+    Pallas sweep (ops/pallas_match.py) — the distance matrix never
+    materializes in HBM; elsewhere the XLA formulation below."""
+    if _use_pallas_match():
+        from libcml_tpu.ops.pallas_match import hamming_resolve_pallas
+
+        d1, d2, best, col_best_row = hamming_resolve_pallas(
+            desc_q, row_mask, desc_t, col_mask, pair_mask)
+        ok = (d1 <= max_dist) & (
+            d1.astype(jnp.float32) < ratio * d2.astype(jnp.float32)
+        )
+        ok = ok & (col_best_row[best] == jnp.arange(desc_q.shape[0]))
+        return best, d1, ok
+
+    D = hamming_matrix(desc_q, desc_t)
+    return _resolve(D, row_mask, col_mask, pair_mask, max_dist, ratio)
+
+
 def _resolve(
     D: jax.Array,
     row_mask: jax.Array,
@@ -52,9 +96,8 @@ def _resolve(
     max_dist: int,
     ratio: float,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Core resolution over a masked distance matrix: per-row best + second
-    best with Lowe ratio, then mutual-best cross-check (the reference's
-    CornerMatchingGraph::resolveByRatio semantics, CornerMatcher.h:295)."""
+    """XLA-path resolution over a materialized distance matrix (see
+    _resolve_from_desc)."""
     big = jnp.asarray(_HAMMING_MAX + 1, D.dtype)
     mask = row_mask[:, None] & col_mask[None, :]
     if pair_mask is not None:
@@ -115,8 +158,8 @@ def match_descriptors(
     """Unconstrained descriptor matching — the brute-force / LSH / BoW-node
     paths of the reference all reduce to this on TPU (full matrix, no
     pruning needed)."""
-    D = hamming_matrix(desc_q, desc_t)
-    idx, dist, ok = _resolve(D, valid_q, valid_t, None, max_dist, ratio)
+    idx, dist, ok = _resolve_from_desc(desc_q, desc_t, valid_q, valid_t,
+                                       None, max_dist, ratio)
     return MatchResult(idx=idx, dist=dist, valid=ok, num=jnp.sum(ok))
 
 
@@ -130,12 +173,12 @@ def match_window(
     """Spatial-window matching for initialization (reference:
     trackForInitialization, BoWTracker.cpp:291 — candidates within a pixel
     window of the query corner)."""
-    D = hamming_matrix(desc_q, desc_t)
     d2 = jnp.sum(
         (uv_q[:, None, :] - uv_t[None, :, :]) ** 2, axis=-1
     )
     pair = d2 <= radius * radius
-    idx, dist, ok = _resolve(D, valid_q, valid_t, pair, max_dist, ratio)
+    idx, dist, ok = _resolve_from_desc(desc_q, desc_t, valid_q, valid_t,
+                                       pair, max_dist, ratio)
     return MatchResult(idx=idx, dist=dist, valid=ok, num=jnp.sum(ok))
 
 
@@ -164,7 +207,6 @@ def match_projection(
     uv_p, z_ok = cam.project(Xc)
     vis = valid_p & z_ok & cam.in_bounds(uv_p, border=2.0)
 
-    D = hamming_matrix(desc_p, desc_f)
     # radius grows with the point's detection level (coarser -> wider)
     r = radius * (1.5 ** level_p.astype(jnp.float32))
     d2 = jnp.sum((uv_p[:, None, :] - uv_f[None, :, :]) ** 2, axis=-1)
@@ -173,7 +215,8 @@ def match_projection(
     pair = pair & (
         jnp.abs(level_p[:, None] - level_f[None, :]) <= 1
     )
-    idx, dist, ok = _resolve(D, vis, valid_f, pair, max_dist, ratio)
+    idx, dist, ok = _resolve_from_desc(desc_p, desc_f, vis, valid_f, pair,
+                                       max_dist, ratio)
     return MatchResult(idx=idx, dist=dist, valid=ok, num=jnp.sum(ok)), uv_p
 
 
@@ -196,8 +239,8 @@ def match_epipolar(
     den = lines[:, 0] ** 2 + lines[:, 1] ** 2
     d2 = num**2 / jnp.maximum(den, 1e-9)[:, None]
     pair = d2 <= epi_tol
-    D = hamming_matrix(desc_q, desc_t)
-    idx, dist, ok = _resolve(D, valid_q, valid_t, pair, max_dist, ratio)
+    idx, dist, ok = _resolve_from_desc(desc_q, desc_t, valid_q, valid_t,
+                                       pair, max_dist, ratio)
     return MatchResult(idx=idx, dist=dist, valid=ok, num=jnp.sum(ok))
 
 

@@ -57,7 +57,12 @@ from libcml_tpu.models.indirect.pnp import solve_pnp, triangulate_linear
 from libcml_tpu.models.indirect.triangulation import optimal_correct
 from libcml_tpu.ops.image import build_pyramid
 from libcml_tpu.runtime.checker import CameraChecker
-from libcml_tpu.runtime.odometry import DirectOdometry
+from libcml_tpu.runtime.odometry import (
+    DirectOdometry,
+    pack_refs,
+    unpack_refs,
+    upload_packed,
+)
 
 # arena capacities (static shapes; reference budgets: 625-2000 ORB corners,
 # map grows unbounded — here a recycling arena, evaluation presets fit)
@@ -302,12 +307,11 @@ class HybridOdometry(DirectOdometry):
 
     def _map_device(self):
         if self._map_dev is None:
-            self._map_dev = (
-                jnp.asarray(self._pt_Xw),
-                jnp.asarray(self._pt_desc),
-                jnp.asarray(self._pt_valid),
-                jnp.asarray(self._pt_level),
-            )
+            # one packed upload (4 separate transfers pay 4x the tunnel's
+            # per-array RPC latency)
+            self._map_dev = upload_packed(
+                (self._pt_Xw, self._pt_desc, self._pt_valid,
+                 self._pt_level))
         return self._map_dev
 
     def _add_map_points(self, Xw: np.ndarray, desc: np.ndarray,
@@ -568,8 +572,13 @@ class HybridOdometry(DirectOdometry):
             want.append(ip_refs if ip_refs is not None else None)
             p2 = self._pass2
             want.append((p2["mvalid"], p2["bundle"]) if p2 else None)
+            # ONE flat f32 buffer = ONE tunnel RPC (~25-30 ms per fetched
+            # ARRAY regardless of size; the unpacked 5-array fetch measured
+            # 120 ms/frame)
+            flat, recipe = pack_refs(tuple(want))
             with self.sheet.timer("time_bundle_fetch").frame(fidx):
-                sc_np, pnp_np, ip_np, p2_np = jax.device_get(tuple(want))
+                flat_np = jax.device_get(flat)
+            sc_np, pnp_np, ip_np, p2_np = unpack_refs(flat_np, recipe)
             entry["scalars_np"] = sc_np
             if pnp_np is not None:
                 entry["pnp_np"] = pnp_np
@@ -1241,14 +1250,16 @@ class HybridOdometry(DirectOdometry):
 
         if pvalid.sum() < 24:
             return None, None, None
+        (uv_d, host_d, rho_d, pv_d, ouv_d, ov_d, s2_d) = upload_packed(
+            (uv_a, host, rho, pvalid, obs_uv, obs_valid, sigma2))
         ind = ba_mod.IndirectFactors(
-            uv=jnp.asarray(uv_a),
-            host=jnp.asarray(host),
-            idepth=jnp.asarray(rho),
-            point_valid=jnp.asarray(pvalid),
-            obs_uv=jnp.asarray(obs_uv),
-            obs_valid=jnp.asarray(obs_valid),
-            sigma2=jnp.asarray(sigma2),
+            uv=uv_d,
+            host=host_d,
+            idepth=rho_d,
+            point_valid=pv_d,
+            obs_uv=ouv_d,
+            obs_valid=ov_d,
+            sigma2=s2_d,
         )
         return ind, host, map_slots
 
@@ -1446,20 +1457,30 @@ class HybridOdometry(DirectOdometry):
         point_valid = np.zeros(Np, bool)
         point_valid[:N] = self._pt_valid[used_pts]
 
+        # ONE packed upload for the whole operand set (9 separate
+        # jnp.asarray transfers paid ~9x the tunnel's per-array latency)
+        (T_R_d, T_t_d, fv_d, ff_d, Xw_d, pv_d, of_d, op_d, ouv_d, ov_d,
+         os2_d) = upload_packed((
+             np.stack([k["T_R"] for k in kfs]).astype(np.float32),
+             np.stack([k["T_t"] for k in kfs]).astype(np.float32),
+             np.ones((M,), bool),
+             np.asarray([i == 0 for i in range(M)]),
+             Xw_pad, point_valid,
+             obs_f.astype(np.int32), obs_p.astype(np.int32),
+             obs_uv.astype(np.float32), obs_valid,
+             obs_s2.astype(np.float32),
+         ))
         prob = iba.IndirectBAProblem(
-            T=SE3(
-                R=jnp.asarray(np.stack([k["T_R"] for k in kfs])),
-                t=jnp.asarray(np.stack([k["T_t"] for k in kfs])),
-            ),
-            frame_valid=jnp.ones((M,), bool),
-            frame_fixed=jnp.asarray([i == 0 for i in range(M)]),
-            Xw=jnp.asarray(Xw_pad),
-            point_valid=jnp.asarray(point_valid),
-            obs_frame=jnp.asarray(obs_f),
-            obs_point=jnp.asarray(obs_p),
-            obs_uv=jnp.asarray(obs_uv),
-            obs_valid=jnp.asarray(obs_valid),
-            obs_sigma2=jnp.asarray(obs_s2),
+            T=SE3(R=T_R_d, t=T_t_d),
+            frame_valid=fv_d,
+            frame_fixed=ff_d,
+            Xw=Xw_d,
+            point_valid=pv_d,
+            obs_frame=of_d,
+            obs_point=op_d,
+            obs_uv=ouv_d,
+            obs_valid=ov_d,
+            obs_sigma2=os2_d,
         )
         out = _run_local_ba(prob, self.cam)
         lb = {"used_pts": used_pts, "N": N, "kfs": kfs,

@@ -501,6 +501,100 @@ _choose_marg_slot = jax.jit(win_mod.choose_marginalization_slot)
 _SE3_ID = SE3.identity()
 
 
+# -- packed device->host fetches --------------------------------------------
+# The tunnel charges ~25-30 ms PER ARRAY fetched, independent of size
+# (measured round 4; re-confirmed round 5: a 5-array per-frame fetch cost
+# 120 ms against the single-array ~30 ms floor). Everything a finalize
+# consumes is therefore bit-packed into ONE flat f32 buffer on device and
+# split back on host: 4-byte int/uint leaves travel as bitcasts, bools as
+# 0/1 floats.
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _pack_flat(leaves, meta):
+    parts = []
+    for leaf, (shape, dtype) in zip(leaves, meta):
+        if dtype in ("uint32", "int32"):
+            p = jax.lax.bitcast_convert_type(leaf, jnp.float32)
+        elif dtype == "bool":
+            p = leaf.astype(jnp.float32)
+        else:
+            p = leaf.astype(jnp.float32)
+        parts.append(p.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def pack_refs(tree):
+    """Flatten an arbitrary pytree of device arrays into ONE f32 buffer
+    (a single tunnel RPC to fetch) + the recipe to reassemble it."""
+    leaves, treedef = jax.tree.flatten(tree)
+    meta = tuple((tuple(l.shape), str(l.dtype)) for l in leaves)
+    return _pack_flat(tuple(leaves), meta), (treedef, meta)
+
+
+def unpack_refs(flat_np, recipe):
+    """Host half: split the fetched f32 buffer back into numpy leaves."""
+    treedef, meta = recipe
+    out = []
+    ofs = 0
+    flat_np = np.asarray(flat_np)
+    for shape, dtype in meta:
+        n = int(np.prod(shape)) if shape else 1
+        chunk = flat_np[ofs:ofs + n]
+        ofs += n
+        if dtype in ("uint32", "int32"):
+            arr = chunk.view(np.dtype(dtype)).reshape(shape)
+        elif dtype == "bool":
+            arr = (chunk > 0.5).reshape(shape)
+        else:
+            arr = chunk.astype(np.dtype(dtype), copy=False).reshape(shape)
+        out.append(arr)
+    return jax.tree.unflatten(treedef, out)
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _device_unpack(flat, meta):
+    out = []
+    ofs = 0
+    for shape, dtype in meta:
+        n = int(np.prod(shape)) if shape else 1
+        chunk = jax.lax.dynamic_slice_in_dim(flat, ofs, n)
+        ofs += n
+        if dtype in ("uint32", "int32"):
+            arr = jax.lax.bitcast_convert_type(
+                chunk, jnp.dtype(dtype)).reshape(shape)
+        elif dtype == "bool":
+            arr = (chunk > 0.5).reshape(shape)
+        else:
+            arr = chunk.astype(jnp.dtype(dtype)).reshape(shape)
+        out.append(arr)
+    return tuple(out)
+
+
+def upload_packed(arrays):
+    """Host->device transfer of MANY numpy arrays as ONE buffer + ONE
+    device-side split program (uploads pay the same ~per-array RPC latency
+    as fetches through the tunnel; the indirect local-BA dispatch uploads
+    ~12 operand arrays). 4-byte int/uint arrays travel as bit views,
+    bools as 0/1; returns device arrays in input order."""
+    metas = []
+    parts = []
+    for a in arrays:
+        a = np.asarray(a)
+        metas.append((tuple(a.shape), str(a.dtype)))
+        if a.dtype in (np.uint32, np.int32):
+            parts.append(a.reshape(-1).view(np.float32))
+        elif a.dtype == np.bool_:
+            parts.append(a.reshape(-1).astype(np.float32))
+        else:
+            parts.append(a.reshape(-1).astype(np.float32))
+        if a.dtype == np.int64:
+            raise TypeError("upload_packed: int64 would lose bits; "
+                            "cast to int32 first")
+    flat = np.concatenate(parts) if parts else np.zeros(0, np.float32)
+    return _device_unpack(jnp.asarray(flat), tuple(metas))
+
+
 @jax.jit
 def _push_row(rows, slot):
     """Shift `slot` into the recent-rows ring (device side)."""

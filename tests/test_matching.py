@@ -121,3 +121,45 @@ def test_keyframe_database_query():
     db.remove(2)
     res = db.query(jnp.asarray(q), jnp.ones(64, bool))
     assert all(kf != 2 for kf, _ in res)
+
+
+def test_pallas_resolve_matches_xla():
+    """The fused Pallas match-resolution kernel (ops/pallas_match.py,
+    interpreted on the CPU test platform) must agree exactly with the XLA
+    formulation — best index, distance, second-best, column-best — across
+    masks, pair constraints and non-multiple-of-tile sizes."""
+    import numpy as np
+
+    from libcml_tpu.models.indirect.orb import hamming_matrix
+    from libcml_tpu.ops.pallas_match import hamming_resolve_pallas
+
+    rng = np.random.default_rng(7)
+    N, Mn = 67, 301     # deliberately not multiples of the tile
+    dq = jnp.asarray(rng.integers(0, 2**32, (N, 8), dtype=np.uint32))
+    dt = jnp.asarray(rng.integers(0, 2**32, (Mn, 8), dtype=np.uint32))
+    mq = jnp.asarray(rng.random(N) > 0.2)
+    mt = jnp.asarray(rng.random(Mn) > 0.2)
+    pair = jnp.asarray(rng.random((N, Mn)) > 0.3)
+
+    d1, d2, idx, col_row = hamming_resolve_pallas(
+        dq, mq, dt, mt, pair, tile_m=64, interpret=True)
+
+    D = np.asarray(hamming_matrix(dq, dt)).astype(np.int64)
+    mask = np.asarray(mq)[:, None] & np.asarray(mt)[None, :] \
+        & np.asarray(pair)
+    Dm = np.where(mask, D, 257)
+    ref_idx = Dm.argmin(1)
+    ref_d1 = Dm.min(1)
+    D2 = Dm.copy()
+    D2[np.arange(N), ref_idx] = 257
+    ref_d2 = D2.min(1)
+    ref_col = Dm.argmin(0)
+
+    np.testing.assert_array_equal(np.asarray(d1), np.minimum(ref_d1, 257))
+    np.testing.assert_array_equal(np.asarray(d2), np.minimum(ref_d2, 257))
+    # index parity matters only where a real (unmasked) match exists
+    has = ref_d1 <= 256
+    np.testing.assert_array_equal(np.asarray(idx)[has], ref_idx[has])
+    has_c = Dm.min(0) <= 256
+    np.testing.assert_array_equal(np.asarray(col_row)[has_c],
+                                  ref_col[has_c])
