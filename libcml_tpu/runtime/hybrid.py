@@ -563,19 +563,20 @@ class HybridOdometry(DirectOdometry):
         # fixed latency through the tunnel; at lag-1 all of it is already
         # computed, so the RPC itself is the only cost)
         if feats is not None and "scalars_np" not in entry:
-            want = [entry["scalars"]]
-            if "pnp_bundle" in entry:
-                want.append((entry["pnp_bundle"], entry["pnp_mvalid"]))
-            else:
-                want.append(None)
-            ip_refs = self._indpost_fetch_refs()
-            want.append(ip_refs if ip_refs is not None else None)
-            p2 = self._pass2
-            want.append((p2["mvalid"], p2["bundle"]) if p2 else None)
+            want = self._bundle_want(entry)
             # ONE flat f32 buffer = ONE tunnel RPC (~25-30 ms per fetched
             # ARRAY regardless of size; the unpacked 5-array fetch measured
-            # 120 ms/frame)
-            flat, recipe = pack_refs(tuple(want))
+            # 120 ms/frame). The buffer was usually PREPACKED at the end of
+            # the previous finalize, so the concat program was queued ahead
+            # of this frame's device work and the fetch is a pure RPC —
+            # packing here would queue it behind ~30 ms of fresh dispatches.
+            pre = entry.pop("_prepack", None)
+            if pre is not None and self._same_refs(pre[2], want):
+                flat, recipe = pre[0], pre[1]
+            else:
+                flat, recipe = pack_refs(tuple(want))
+            ip_refs = want[2]
+            p2 = self._pass2
             with self.sheet.timer("time_bundle_fetch").frame(fidx):
                 flat_np = jax.device_get(flat)
             sc_np, pnp_np, ip_np, p2_np = unpack_refs(flat_np, recipe)
@@ -690,7 +691,42 @@ class HybridOdometry(DirectOdometry):
             )
             self._pass2 = {"mvalid": mv2, "bundle": b2, "frame_idx": fidx}
         self._cull_map_points()
+        self._prepack_next()
         return out
+
+    def _bundle_want(self, entry: dict, at_frame: int | None = None) -> list:
+        """The device refs one frame's finalize consumes, in fetch order:
+        [scalars, pnp pair | None, indpost tick refs | None, pass2 | None]."""
+        want = [entry["scalars"]]
+        if "pnp_bundle" in entry:
+            want.append((entry["pnp_bundle"], entry["pnp_mvalid"]))
+        else:
+            want.append(None)
+        ip_refs = self._indpost_fetch_refs(at_frame=at_frame)
+        want.append(ip_refs if ip_refs is not None else None)
+        p2 = self._pass2
+        want.append((p2["mvalid"], p2["bundle"]) if p2 else None)
+        return want
+
+    @staticmethod
+    def _same_refs(a, b) -> bool:
+        la, ta = jax.tree.flatten(a)
+        lb, tb = jax.tree.flatten(b)
+        return ta == tb and len(la) == len(lb) and all(
+            x is y for x, y in zip(la, lb))
+
+    def _prepack_next(self):
+        """Pre-pack the NEXT pending frame's bundle now, while its device
+        operands are already queued and before the next frame's dispatches
+        join the queue (see the fetch comment in _finalize_frame)."""
+        if not self._pending:
+            return
+        nxt = self._pending[0]
+        if "scalars" not in nxt or "scalars_np" in nxt:
+            return
+        want = self._bundle_want(nxt, at_frame=self.frame_idx + 1)
+        flat, recipe = pack_refs(tuple(want))
+        nxt["_prepack"] = (flat, recipe, want)
 
     def _consume_pass2(self, p2, fetched):
         """Land a completed second local-map pass: refresh point last-seen
@@ -787,15 +823,17 @@ class HybridOdometry(DirectOdometry):
     # time (measured round 5: 127 ms mean bundle fetch vs the ~30 ms floor)
     TICK_LAG = 2
 
-    def _indpost_fetch_refs(self):
+    def _indpost_fetch_refs(self, at_frame: int | None = None):
         """Device refs the current indirect-postprocess tick consumes (the
         per-frame finalize fetches them in the SAME RPC as the frame
         bundle), or None when no event is in flight or the tick's programs
-        are younger than TICK_LAG frames."""
+        are younger than TICK_LAG frames. `at_frame` evaluates the age gate
+        as of a future frame (the bundle prepack runs one frame early)."""
         st = self._indpost
         if st is None:
             return None
-        if self.frame_idx - st.get("tick_born", -10) < self.TICK_LAG:
+        fidx = self.frame_idx if at_frame is None else at_frame
+        if fidx - st.get("tick_born", -10) < self.TICK_LAG:
             return None
         return self._indpost_refs_raw(st)
 
