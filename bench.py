@@ -38,8 +38,11 @@ SEQ = os.path.join(ROOT, "benchmarks", "kitti_synth", "sequences", "04")
 REF_FPS = 3.74      # measured: reference modslam, same sequence, this host
 REF_ATE = 0.051     # measured: scale-aligned ATE over the 500-frame run
 
-DIRECT_FRAMES = 200
-HYBRID_FRAMES = 120
+# equal 500-frame basis for every engine (round-4 verdict: hybrid@120f vs
+# direct@200f vs reference@500f compared unlike lengths; short runs drift
+# less, flattering ATE)
+DIRECT_FRAMES = 500
+HYBRID_FRAMES = 500
 WARMUP = 30
 
 
@@ -71,7 +74,7 @@ def run_mode(mode: str, frames: int, pipelined: bool) -> dict:
     if mode == "hybrid":
         from libcml_tpu.runtime.hybrid import HybridOdometry
 
-        odo = HybridOdometry(cam, cfg)
+        odo = HybridOdometry(cam, cfg, pipelined=pipelined)
     else:
         from libcml_tpu.runtime.odometry import DirectOdometry
 
@@ -109,9 +112,13 @@ def main() -> None:
     skip_hybrid = "--skip-hybrid" in sys.argv
     ensure_sequence(DIRECT_FRAMES)
 
-    direct = run_mode("direct", DIRECT_FRAMES, pipelined=True)
+    # shipped operating point: SEQUENTIAL direct. Round 5 measured the
+    # packed single-RPC transfer work making sequential ~as fast as lag-1
+    # pipelining (12.3 vs 12.9 fps @500f) while pipelining costs accuracy
+    # (one lost segment at the yaw reversal); see benchmarks/results_r05.json.
+    direct = run_mode("direct", DIRECT_FRAMES, pipelined=False)
     result = {
-        "metric": "direct_pipeline_measured_fps_640x480_2048pts",
+        "metric": "direct_measured_fps_640x480_2048pts_500f",
         "value": direct["steady_fps"],
         "unit": "frames/s",
         "vs_baseline": round(direct["steady_fps"] / REF_FPS, 3),
