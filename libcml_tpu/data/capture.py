@@ -55,9 +55,26 @@ class AbstractCapture:
                 for i in range(len(self)):
                     if stop.is_set():
                         return
-                    q.put(self._load(i))
+                    item = self._load(i)
+                    # bounded put that observes `stop`: a plain blocking
+                    # put leaks the thread forever when the consumer
+                    # abandons the generator with the queue full
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            pass
+                    if stop.is_set():
+                        return
             finally:
-                q.put(None)
+                while True:
+                    try:
+                        q.put(None, timeout=0.2)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -69,6 +86,12 @@ class AbstractCapture:
                 yield item
         finally:
             stop.set()
+            # unblock a worker waiting on a full queue
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def load_dataset(path: str) -> AbstractCapture:

@@ -245,6 +245,7 @@ class HybridOdometry(DirectOdometry):
         orb_budget: int = 512,
         orb_levels: int = 3,
         enable_indirect: bool = True,
+        staged_indpost: bool = False,
         **kw,
     ):
         super().__init__(cam, cfg, **kw)
@@ -252,6 +253,19 @@ class HybridOdometry(DirectOdometry):
         self.orb_budget = orb_budget
         self.orb_levels = orb_levels
         self.enable_indirect = enable_indirect
+        # EXPERIMENTAL knob: stage the indirect keyframe postprocess over
+        # subsequent frames' bundle RPCs even in sequential mode (the
+        # pipelined mode always stages). Motivation: completing all three
+        # ticks inside the keyframe's own finalize measured 592 ms mean
+        # (results_r05.json hybrid_sequential time_ind_post) because every
+        # tick fetch blocks on its freshly-dispatched solver. Measured
+        # round 5 on the 500-frame head-to-head, full staging LOST tracking
+        # twice (late map bookkeeping starves the next frames' PnP), so the
+        # staged-sequential variant keeps the bookkeeping tick synchronous
+        # and stages only the BA solver ticks — still off by default until
+        # its accuracy matches the synchronous path. The reference runs
+        # this work on its mapping thread (Hybrid.cpp:103-110).
+        self.staged_indpost = staged_indpost
 
         self.pose_decision = PoseEstimationDecision(self.dcfg)
         self.ba_decision = BundleAdjustmentDecision(self.dcfg)
@@ -800,8 +814,18 @@ class HybridOdometry(DirectOdometry):
             ),
             "has_tri": tri is not None,
         }
-        if not self.pipelined:
+        if not self.staged_indpost:
             self._complete_indpost()
+        elif not self.pipelined:
+            # sequential mode: land the MATCH/bookkeeping tick now — the
+            # indirect map must be fresh for the very next frame's PnP
+            # (a fully-staged run measured 2 lost segments on the 500-frame
+            # sequence where sync postprocess loses none) — but leave the
+            # mixed/local BA solver ticks staged: their writebacks are pure
+            # refinement, and fetching them synchronously blocks the frame
+            # on ~0.4-0.8 s of freshly-dispatched solver device time
+            # (results_r05.json hybrid_sequential time_mixed_ba/local_ba).
+            self._tick_indpost()
 
     def _make_keyframe(self, *a, **kw):
         """A new direct keyframe mutates the window — any in-flight mixed
